@@ -221,11 +221,34 @@ def polish_repeat(org, input_len, rr: RepeatRecord) -> None:
     rr.string = decode_bases(revised[j_revised + 1 : MAX_PERIOD])
 
 
+def rebuild_unit_from_consensus(rr: RepeatRecord, consensus, missing) -> None:
+    """The rebuild half of revise_representative_unit_sub
+    (consensus.c:964-1012): column-max base per unit column (gap drops
+    the column), plus insertion of significantly-supported missing
+    bases.  Shared by the oracle and the device pipeline."""
+    unit_len = rr.rep_period
+    revised: list[int] = []
+    coverage = rr.repeat_len // rr.rep_period
+    mismatch_ratio = (
+        rr.num_mismatches + rr.num_insertions + rr.num_deletions
+    ) / rr.repeat_len
+    for j in range(1, unit_len + 1):
+        max_base = int(np.argmax(consensus[j]))  # first max (ties -> smaller base)
+        if max_base < 4:
+            revised.append(max_base)
+        max_v = int(missing[j].max())
+        max_missing = int(np.argmax(missing[j]))
+        if 5 <= coverage <= 20:
+            if min_missing(rr.rep_period, mismatch_ratio, coverage) <= max_v and 0 <= max_missing <= 3:
+                revised.append(max_missing)
+    rr.rep_period = len(revised)
+    rr.string = decode_bases(revised)
+
+
 def revise_representative_unit_sub(org, rr: RepeatRecord, mg, mp, ip) -> None:
     """consensus.c:851-1046 — re-align, build column consensus, rebuild
     the unit, and insert significantly-supported missing bases."""
     unit = encode_bases(rr.string)
-    unit_len = rr.rep_period
     qs, qe = rr.rep_start, rr.rep_end
     rr.match_gain = mg
     rr.mismatch_penalty = mp
@@ -246,22 +269,7 @@ def revise_representative_unit_sub(org, rr: RepeatRecord, mg, mp, ip) -> None:
         else:  # insertion
             missing[j][rep[i - 1]] += 1
 
-    revised: list[int] = []
-    coverage = rr.repeat_len // rr.rep_period
-    mismatch_ratio = (
-        rr.num_mismatches + rr.num_insertions + rr.num_deletions
-    ) / rr.repeat_len
-    for j in range(1, unit_len + 1):
-        max_base = int(np.argmax(consensus[j]))  # first max (ties -> smaller base)
-        if max_base < 4:
-            revised.append(max_base)
-        max_v = int(missing[j].max())
-        max_missing = int(np.argmax(missing[j]))
-        if 5 <= coverage <= 20:
-            if min_missing(rr.rep_period, mismatch_ratio, coverage) <= max_v and 0 <= max_missing <= 3:
-                revised.append(max_missing)
-    rr.rep_period = len(revised)
-    rr.string = decode_bases(revised)
+    rebuild_unit_from_consensus(rr, consensus, missing)
 
 
 def revise_representative_unit(org, rr: RepeatRecord, input_len: int) -> None:

@@ -216,18 +216,24 @@ def freq_2mer_array(unit: list[int]) -> list[int]:
     return out
 
 
-def search_de_bruijn_graph(
-    org, input_len, qs, qe, rr: RepeatRecord, min_match_ratio: float
-) -> tuple[int, CountTable]:
-    """consensus.c:507-582.  Returns (foundLoop-of-last-direction, table)."""
+def walk_candidates(org, input_len, qs, qe, rr: RepeatRecord):
+    """The walk half of search_De_Bruijn_graph (consensus.c:507-576):
+    up to one candidate per direction — the first start node whose
+    greedy traversal closes a loop — plus the return-value semantics.
+
+    Returns (candidates, found_last) where candidates is a list of
+    records with unit string/scores filled (forward first if both), and
+    found_last is the foundLoop value of the LAST attempt overall (the
+    backward direction's outcome — if the backward search never loops,
+    the whole call reports failure even when forward succeeded).
+    """
     k = rr.kmer
     vals = query_kmer_values(org, input_len, k, qs, qe)
     table = CountTable(vals)
     max_nodes, max_freq = table.list_max_nodes()
 
-    max_ratio = -1.0
     found = 0
-    best: RepeatRecord | None = None
+    candidates: list[RepeatRecord] = []
     if max_freq > MIN_NUM_FREQ_UNIT:
         for direction in (True, False):  # forward then backward
             for node in max_nodes:
@@ -239,20 +245,41 @@ def search_de_bruijn_graph(
                 if tmp.rep_period >= MAX_PERIOD:
                     found = 0
                 if found == 1:
-                    wrap_around_dp(org, qs, qe, tmp)
-                    r = tmp.match_ratio()
-                    # NaN ratios fail every comparison, as in C float math
-                    if (
-                        ratio_less(max_ratio, r)
-                        and min_match_ratio <= r
-                        and tmp.num_freq_unit > MIN_NUM_FREQ_UNIT
-                        and MIN_PERIOD <= tmp.rep_period < MAX_PERIOD
-                    ):
-                        max_ratio = r
-                        best = tmp
+                    candidates.append(tmp)
                     break  # first loop found ends this direction
+    return candidates, found
+
+
+def select_dp_candidate(
+    rr: RepeatRecord, scored: list[RepeatRecord], min_match_ratio: float
+) -> None:
+    """The selection half of search_De_Bruijn_graph (consensus.c:562-578):
+    each scored record already carries its best-scheme DP result."""
+    max_ratio = -1.0
+    best: RepeatRecord | None = None
+    for tmp in scored:
+        r = tmp.match_ratio()
+        # NaN ratios fail every comparison, as in C float math
+        if (
+            ratio_less(max_ratio, r)
+            and min_match_ratio <= r
+            and tmp.num_freq_unit > MIN_NUM_FREQ_UNIT
+            and MIN_PERIOD <= tmp.rep_period < MAX_PERIOD
+        ):
+            max_ratio = r
+            best = tmp
     if best is not None:
         _assign(rr, best)
     else:
         _assign(rr, RepeatRecord())
-    return found, table
+
+
+def search_de_bruijn_graph(
+    org, input_len, qs, qe, rr: RepeatRecord, min_match_ratio: float
+) -> tuple[int, None]:
+    """consensus.c:507-582.  Returns (foundLoop-of-last-direction, None)."""
+    candidates, found = walk_candidates(org, input_len, qs, qe, rr)
+    for tmp in candidates:
+        wrap_around_dp(org, qs, qe, tmp)
+    select_dp_candidate(rr, candidates, min_match_ratio)
+    return found, None

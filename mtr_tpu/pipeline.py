@@ -1,0 +1,370 @@
+"""Production pipeline: batched device compute + host sequential logic.
+
+Processes reads in batches; per batch the work is organized into phases
+so every wrap-around DP lands in a few large device dispatches instead
+of the reference's one-matrix-at-a-time scalar fills:
+
+  1. DI + candidate ranges   (host numpy / sequential pairing — the
+                              arena reuse semantics force read order)
+  2. DBG walks               (host, all (range, k) queries)
+  3. DP batch #1             (device: every walk candidate x 2 schemes)
+  4. scheme + direction selection, acceptance gates
+  5. polish + 2 revision rounds (each: device consensus-DP batch +
+                              host rebuild + device re-score DP batch)
+  6. k-sweep selection, sequential acceptance replay, chaining, output
+
+Phases 3/5 speculate across ranges: the reference suppresses some
+pending ranges after an acceptance (handle_one_read.c:178-188), which
+only SKIPS queries, so computing every range up front and replaying the
+acceptance order afterwards yields byte-identical output.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from collections import defaultdict
+
+import numpy as np
+
+from mtr_tpu.config import MTRConfig, DEFAULT_CONFIG
+from mtr_tpu.records import RepeatRecord, ratio_less
+from mtr_tpu.io.fasta import iter_fasta, Read
+from mtr_tpu.chaining import chain_records
+from mtr_tpu.utils.encoding import encode_bases
+from mtr_tpu.oracle.arena import Arena
+from mtr_tpu.oracle.directional_index import fill_directional_index_with_end
+from mtr_tpu.oracle.dbg import (
+    walk_candidates,
+    select_dp_candidate,
+    MIN_PERIOD,
+    MIN_NUM_FREQ_UNIT,
+    MAX_PERIOD,
+)
+from mtr_tpu.oracle.wrap_dp import _assign
+from mtr_tpu.oracle.consensus import polish_repeat, rebuild_unit_from_consensus
+from mtr_tpu.ops.wrap_dp import (
+    get_wrap_dp,
+    traceback_from_moves,
+    consensus_from_moves,
+)
+
+R_BUCKETS = (128, 512, 2048, 8192, 32768, 131072, 524288, 1048576)
+U_BUCKETS = (128, 512)
+B_BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512)
+MOVES_BYTES_CAP = 512 << 20  # cap per-dispatch move-tensor footprint
+
+
+def _bucket(v: int, buckets) -> int:
+    for b in buckets:
+        if v <= b:
+            return b
+    return buckets[-1]
+
+
+@dataclasses.dataclass
+class DPJob:
+    org: np.ndarray  # effective per-read arena view (codes + stale tail)
+    qs: int
+    qe: int
+    unit: np.ndarray  # int32 unit codes
+    scheme: tuple
+    mode: str = "counts"  # 'counts' | 'consensus'
+    result: object = None
+
+
+class WrapDPBatcher:
+    """Groups DP jobs into (rep, unit, batch) buckets and runs the
+    batched device kernel, then walks the move tensors on host."""
+
+    def run(self, jobs: list[DPJob]) -> None:
+        groups: dict[tuple[int, int], list[int]] = defaultdict(list)
+        for idx, job in enumerate(jobs):
+            rep_len = job.qe - job.qs + 1
+            r_pad = _bucket(rep_len, R_BUCKETS)
+            u_pad = _bucket(len(job.unit), U_BUCKETS)
+            groups[(r_pad, u_pad)].append(idx)
+
+        for (r_pad, u_pad), idxs in sorted(groups.items()):
+            cap = max(1, MOVES_BYTES_CAP // ((r_pad + 1) * u_pad))
+            fn = get_wrap_dp(u_pad, r_pad)
+            for lo in range(0, len(idxs), cap):
+                chunk = idxs[lo : lo + cap]
+                self._run_chunk(jobs, chunk, fn, r_pad, u_pad)
+
+    def _run_chunk(self, jobs, chunk, fn, r_pad, u_pad) -> None:
+        n = len(chunk)
+        b_pad = _bucket(n, B_BUCKETS) if n <= B_BUCKETS[-1] else n
+        reps = np.full((b_pad, r_pad), -1, dtype=np.int32)
+        rep_lens = np.zeros(b_pad, dtype=np.int32)
+        units = np.full((b_pad, u_pad), -2, dtype=np.int32)
+        unit_lens = np.full(b_pad, 2, dtype=np.int32)
+        schemes = np.ones((b_pad, 3), dtype=np.int32)
+        units[:, :2] = 0
+        for row, idx in enumerate(chunk):
+            job = jobs[idx]
+            rep_len = job.qe - job.qs + 1
+            seg = job.org[job.qs + 1 : job.qs + 1 + rep_len]
+            reps[row, : len(seg)] = seg
+            rep_lens[row] = rep_len
+            units[row, : len(job.unit)] = job.unit
+            unit_lens[row] = len(job.unit)
+            schemes[row] = job.scheme
+        moves, bv, bi, bj = fn(reps, rep_lens, units, unit_lens, schemes)
+        moves = np.asarray(moves)
+        bv, bi, bj = np.asarray(bv), np.asarray(bi), np.asarray(bj)
+        for row, idx in enumerate(chunk):
+            job = jobs[idx]
+            rep_len = job.qe - job.qs + 1
+            rep = job.org[job.qs + 1 : job.qs + 1 + rep_len]
+            ul = len(job.unit)
+            if job.mode == "counts":
+                counts, i_final = traceback_from_moves(
+                    moves[row], bi[row], bj[row], rep, job.unit, ul
+                )
+                job.result = (counts, i_final, int(bi[row]))
+            else:
+                job.result = consensus_from_moves(
+                    moves[row], bi[row], bj[row], rep, job.unit, ul
+                )
+
+
+def apply_counts(rr: RepeatRecord, job: DPJob) -> None:
+    """Fill record fields from a counts-mode DP result
+    (wrap_around_DP.c:337-350)."""
+    (n_m, n_x, n_i, n_d, scanned), i_final, max_i = job.result
+    rr.rep_start = job.qs + i_final + 1
+    rr.rep_end = job.qs + max_i
+    rr.repeat_len = max_i - i_final
+    rr.num_freq_unit = scanned // len(job.unit) if len(job.unit) else 0
+    rr.num_matches = n_m
+    rr.num_mismatches = n_x
+    rr.num_insertions = n_i
+    rr.num_deletions = n_d
+    rr.match_gain, rr.mismatch_penalty, rr.indel_penalty = job.scheme
+
+
+@dataclasses.dataclass
+class RangeQuery:
+    read_idx: int
+    qs: int
+    qe: int
+    w: int
+    k: int
+    candidates: list = dataclasses.field(default_factory=list)
+    found: int = 0
+    result: RepeatRecord | None = None  # post-selection record (or cleared)
+
+
+@dataclasses.dataclass
+class ReadState:
+    read: Read
+    org: np.ndarray  # effective arena view, length L+1
+    di: np.ndarray
+    di_end: np.ndarray
+    di_w: np.ndarray
+
+
+def _wrap_dp_schemes(batcher, queries_with_candidates) -> None:
+    """Phase 3+4a: batched wrap_around_DP (both schemes) for every walk
+    candidate; per candidate keep the higher-ratio scheme
+    (wrap_around_DP.c:357-429)."""
+    dpjobs: list[DPJob] = []
+    meta: list[tuple[RangeQuery, RepeatRecord]] = []
+    for q, org_arr in queries_with_candidates:
+        for cand in q.candidates:
+            unit = encode_bases(cand.string)
+            for scheme in ((1, 1, 3), (1, 3, 1)):
+                dpjobs.append(DPJob(org_arr, q.qs, q.qe, unit, scheme))
+            meta.append((q, cand))
+    batcher.run(dpjobs)
+    for i, (q, cand) in enumerate(meta):
+        job113, job131 = dpjobs[2 * i], dpjobs[2 * i + 1]
+        best = None
+        best_ratio = -1.0
+        for job in (job113, job131):
+            tmp = cand.copy()
+            apply_counts(tmp, job)
+            r = tmp.match_ratio()
+            if ratio_less(best_ratio, r):
+                best = tmp
+                best_ratio = r
+        if best is None:
+            best = RepeatRecord()
+        _assign(cand, best)
+
+
+def _polish_phase(batcher, states, polish_set, cfg) -> None:
+    """Phase 5: polish_repeat then two revision rounds, batched.
+
+    Each item of polish_set is (query, record); records are revised in
+    place.  Mirrors revise_representative_unit (consensus.c:1048-1087):
+    both rounds compare against the PRE-revision ratio."""
+    if not polish_set:
+        return
+    items = []
+    for q, rr in polish_set:
+        org = states[q.read_idx].org
+        input_len = states[q.read_idx].read.length
+        polish_repeat(org, input_len, rr)
+        items.append((q, rr, rr.match_ratio()))
+
+    for scheme in ((5, 1, 1), (1, 1, 3)):
+        # consensus DP on current units
+        consjobs = []
+        tmps = []
+        for q, rr, base_ratio in items:
+            org = states[q.read_idx].org
+            tmp = rr.copy()
+            tmp.match_gain, tmp.mismatch_penalty, tmp.indel_penalty = scheme
+            consjobs.append(
+                DPJob(org, tmp.rep_start, tmp.rep_end, encode_bases(tmp.string),
+                      scheme, mode="consensus")
+            )
+            tmps.append(tmp)
+        batcher.run(consjobs)
+        # host rebuild, then re-score the revised units
+        scorejobs = []
+        score_meta = []
+        for (q, rr, base_ratio), tmp, job in zip(items, tmps, consjobs):
+            consensus, missing = job.result
+            rebuild_unit_from_consensus(tmp, consensus, missing)
+            if tmp.rep_period < MAX_PERIOD:
+                org = states[q.read_idx].org
+                sj = DPJob(org, tmp.rep_start, tmp.rep_end,
+                           encode_bases(tmp.string), scheme)
+                scorejobs.append(sj)
+                score_meta.append(((q, rr, base_ratio), tmp, sj))
+        batcher.run(scorejobs)
+        for (q, rr, base_ratio), tmp, sj in score_meta:
+            apply_counts(tmp, sj)
+            if ratio_less(base_ratio, tmp.match_ratio()):
+                _assign(rr, tmp)
+
+
+def process_batch(states: list[ReadState], batcher: WrapDPBatcher, cfg: MTRConfig):
+    # phase 2: collect all (range, k) queries and run the walks
+    queries: list[RangeQuery] = []
+    for ridx, st in enumerate(states):
+        L = st.read.length
+        for qs in range(L):
+            qe = int(st.di_end[qs])
+            if -1 < qe < L:
+                w = int(st.di_w[qs])
+                for k in cfg.k_sweep(w):
+                    queries.append(RangeQuery(ridx, qs, int(qe), w, k))
+    for q in queries:
+        st = states[q.read_idx]
+        template = RepeatRecord()
+        template.read_id = st.read.read_id
+        template.input_len = st.read.length
+        template.kmer = q.k
+        q.candidates, q.found = walk_candidates(
+            st.org, st.read.length, q.qs, q.qe, template
+        )
+
+    # phase 3+4a: scheme selection for every candidate
+    _wrap_dp_schemes(batcher, [(q, states[q.read_idx].org) for q in queries])
+
+    # phase 4b: direction selection + gates -> per-query result; build polish set
+    polish_set = []
+    for q in queries:
+        st = states[q.read_idx]
+        rr = RepeatRecord()
+        rr.read_id = st.read.read_id
+        rr.input_len = st.read.length
+        rr.kmer = q.k
+        select_dp_candidate(rr, q.candidates, cfg.min_match_ratio)
+        if q.found == 0:
+            q.result = RepeatRecord()
+            continue
+        if rr.rep_period * (q.qe - q.qs + 1) > cfg.wrap_dp_size:
+            q.result = RepeatRecord()
+            continue
+        q.result = rr
+        coverage = rr.repeat_len // rr.rep_period
+        if 5 <= coverage <= 20 and rr.rep_period > 5:
+            polish_set.append((q, rr))
+
+    # phase 5: polish + revision rounds
+    _polish_phase(batcher, states, polish_set, cfg)
+
+    # phase 6a: k-sweep selection per range
+    by_range: dict[tuple[int, int, int], list[RangeQuery]] = defaultdict(list)
+    for q in queries:
+        by_range[(q.read_idx, q.qs, q.qe)].append(q)
+    range_result: dict[tuple[int, int, int], RepeatRecord] = {}
+    for key, qs_list in by_range.items():
+        best = RepeatRecord()
+        max_ratio = -1.0
+        for q in sorted(qs_list, key=lambda x: x.k):
+            tmp = q.result
+            r = tmp.match_ratio()
+            if (
+                ratio_less(max_ratio, r)
+                and cfg.min_match_ratio <= r
+                and tmp.num_freq_unit > MIN_NUM_FREQ_UNIT
+                and MIN_PERIOD <= tmp.rep_period
+            ):
+                max_ratio = r
+                _assign(best, tmp)
+        range_result[key] = best
+
+    # phase 6b: sequential acceptance replay + chaining
+    out = []
+    for ridx, st in enumerate(states):
+        L = st.read.length
+        di, di_end, di_w = st.di, st.di_end, st.di_w
+        accepted: list[RepeatRecord] = []
+        for qs in range(L):
+            qe = int(di_end[qs])
+            if -1 < qe < L:
+                rr = range_result[(ridx, qs, qe)]
+                if rr.repeat_len > 0 and rr.rep_start + MIN_PERIOD * MIN_NUM_FREQ_UNIT < rr.rep_end:
+                    accepted.append(rr)
+                    for i in range(rr.rep_start, rr.rep_end):
+                        if di[i] != -1 and di_end[i] < rr.rep_end:
+                            di[i] = -1.0
+                            di_end[i] = -1
+                            di_w[i] = -1
+        out.append(chain_records(accepted))
+    return out
+
+
+def run_file(path: str, cfg: MTRConfig = DEFAULT_CONFIG, out=None):
+    """Batched device-backed equivalent of handle_one_file."""
+    import sys
+
+    if out is None:
+        out = sys.stdout
+    arena = Arena(cfg.max_input_length)
+    batcher = WrapDPBatcher()
+    batch: list[ReadState] = []
+
+    def flush():
+        nonlocal batch
+        if not batch:
+            return
+        for st, records in zip(batch, process_batch(batch, batcher, cfg)):
+            for rec in records:
+                out.write(rec.format_record() + "\n")
+                if cfg.print_alignment:
+                    from mtr_tpu.pretty import pretty_print_alignment
+
+                    out.write("\n")
+                    pretty_print_alignment(st.org, rec, out)
+            out.flush()
+        batch = []
+
+    min_rsl = 100
+    for read in iter_fasta(path, cfg.max_input_length):
+        arena.load_read(read.codes)
+        L = read.length
+        org_eff = arena.org_input[: L + 1].copy()
+        rsl = min_rsl if L < min_rsl * 10 else L // 10
+        di, di_end, di_w = fill_directional_index_with_end(
+            arena, L, rsl, manhattan=cfg.manhattan_distance
+        )
+        batch.append(ReadState(read, org_eff, di, di_end, di_w))
+        if len(batch) >= cfg.reads_per_batch:
+            flush()
+    flush()
