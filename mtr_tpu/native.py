@@ -1,0 +1,169 @@
+"""ctypes bindings for the native host runtime (native/mtr_host.cpp).
+
+Every binding has a NumPy fallback (the oracle implementation), so the
+framework runs without the shared library; `available()` reports which
+path is active.  The library is built with `make -C native`.
+"""
+
+from __future__ import annotations
+
+import ctypes as ct
+import os
+import subprocess
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+_HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_SO = os.path.join(_HERE, "native", "libmtr_host.so")
+
+MAX_PERIOD = 500
+
+
+def _load():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    if not os.path.exists(_SO):
+        src = os.path.join(_HERE, "native", "mtr_host.cpp")
+        if os.path.exists(src):
+            try:
+                subprocess.run(
+                    ["make", "-C", os.path.join(_HERE, "native")],
+                    check=True, capture_output=True, timeout=120,
+                )
+            except Exception:
+                return None
+    if not os.path.exists(_SO):
+        return None
+    lib = ct.CDLL(_SO)
+
+    i64 = ct.c_int64
+    lib.mtr_extrema_pair.argtypes = [
+        ct.POINTER(ct.c_double), i64, i64,
+        ct.POINTER(ct.c_double), ct.POINTER(i64), ct.POINTER(i64),
+    ]
+    lib.mtr_remove_redundant.argtypes = [
+        ct.POINTER(ct.c_double), ct.POINTER(i64), i64, ct.c_double,
+    ]
+    lib.mtr_dbg_walk_batch.argtypes = [
+        ct.POINTER(ct.c_void_p), ct.POINTER(i64), ct.POINTER(i64),
+        ct.POINTER(i64), ct.POINTER(ct.c_int32), i64,
+        ct.POINTER(ct.c_int32), ct.POINTER(ct.c_int32),
+        ct.POINTER(ct.c_int32), ct.POINTER(ct.c_int32),
+        ct.POINTER(ct.c_int32), ct.POINTER(ct.c_int32),
+        ct.POINTER(ct.c_int32), ct.POINTER(ct.c_int32),
+        ct.POINTER(ct.c_int32), ct.c_int,
+    ]
+    lib.mtr_traceback_counts.argtypes = [
+        ct.POINTER(ct.c_uint8), i64, i64, i64,
+        ct.POINTER(ct.c_int32), ct.POINTER(ct.c_int32), i64,
+        ct.POINTER(i64), ct.POINTER(i64),
+    ]
+    lib.mtr_traceback_consensus.argtypes = [
+        ct.POINTER(ct.c_uint8), i64, i64, i64,
+        ct.POINTER(ct.c_int32), i64, ct.POINTER(i64), ct.POINTER(i64),
+    ]
+    _LIB = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _dp(a):
+    return a.ctypes.data_as(ct.POINTER(ct.c_double))
+
+
+def _ip64(a):
+    return a.ctypes.data_as(ct.POINTER(ct.c_int64))
+
+
+def _ip32(a):
+    return a.ctypes.data_as(ct.POINTER(ct.c_int32))
+
+
+def extrema_pair(di_tmp, di, di_end, di_w, di_len, w) -> bool:
+    lib = _load()
+    if lib is None:
+        return False
+    lib.mtr_extrema_pair(_dp(di_tmp), di_len, w, _dp(di), _ip64(di_end), _ip64(di_w))
+    return True
+
+
+def remove_redundant(di, di_end, input_len, min_jaccard=0.98) -> bool:
+    lib = _load()
+    if lib is None:
+        return False
+    lib.mtr_remove_redundant(_dp(di), _ip64(di_end), input_len, min_jaccard)
+    return True
+
+
+def dbg_walk_batch(orgs: list[np.ndarray], input_lens, qss, qes, ks, n_threads=0):
+    """Returns None if the library is unavailable, else a dict of arrays."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(orgs)
+    org_ptrs = (ct.c_void_p * n)(*[o.ctypes.data for o in orgs])
+    input_lens = np.asarray(input_lens, np.int64)
+    qss = np.asarray(qss, np.int64)
+    qes = np.asarray(qes, np.int64)
+    ks = np.asarray(ks, np.int32)
+    ff = np.zeros(n, np.int32)
+    fp = np.zeros(n, np.int32)
+    fu = np.zeros((n, MAX_PERIOD), np.int32)
+    fs = np.zeros((n, MAX_PERIOD), np.int32)
+    bf = np.zeros(n, np.int32)
+    bp = np.zeros(n, np.int32)
+    bu = np.zeros((n, MAX_PERIOD), np.int32)
+    bs = np.zeros((n, MAX_PERIOD), np.int32)
+    fl = np.zeros(n, np.int32)
+    lib.mtr_dbg_walk_batch(
+        org_ptrs, _ip64(input_lens), _ip64(qss), _ip64(qes), _ip32(ks), n,
+        _ip32(ff), _ip32(fp), _ip32(fu), _ip32(fs),
+        _ip32(bf), _ip32(bp), _ip32(bu), _ip32(bs),
+        _ip32(fl), n_threads,
+    )
+    return dict(
+        fwd_found=ff, fwd_period=fp, fwd_unit=fu, fwd_scores=fs,
+        bwd_found=bf, bwd_period=bp, bwd_unit=bu, bwd_scores=bs,
+        found_last=fl,
+    )
+
+
+def traceback_counts(moves: np.ndarray, max_i, max_j, rep, unit, unit_len):
+    lib = _load()
+    if lib is None:
+        return None
+    out5 = np.zeros(5, np.int64)
+    i_final = ct.c_int64(0)
+    moves = np.ascontiguousarray(moves)
+    rep = np.ascontiguousarray(rep, np.int32)
+    unit = np.ascontiguousarray(unit, np.int32)
+    lib.mtr_traceback_counts(
+        moves.ctypes.data_as(ct.POINTER(ct.c_uint8)), moves.shape[1],
+        int(max_i), int(max_j), _ip32(rep), _ip32(unit), unit_len,
+        _ip64(out5), ct.byref(i_final),
+    )
+    return tuple(int(x) for x in out5), int(i_final.value)
+
+
+def traceback_consensus(moves: np.ndarray, max_i, max_j, rep, unit_len):
+    lib = _load()
+    if lib is None:
+        return None
+    consensus = np.zeros((MAX_PERIOD, 5), np.int64)
+    missing = np.zeros((MAX_PERIOD, 4), np.int64)
+    moves = np.ascontiguousarray(moves)
+    rep = np.ascontiguousarray(rep, np.int32)
+    lib.mtr_traceback_consensus(
+        moves.ctypes.data_as(ct.POINTER(ct.c_uint8)), moves.shape[1],
+        int(max_i), int(max_j), _ip32(rep), unit_len,
+        _ip64(consensus), _ip64(missing),
+    )
+    return consensus, missing

@@ -25,10 +25,28 @@ no overflow is possible.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+
+def _enable_persistent_cache() -> None:
+    """Cache compiled kernels across processes; each (r, u, b) shape
+    bucket compiles exactly once per machine."""
+    try:
+        cache_dir = os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            os.path.expanduser("~/.cache/mtr_tpu_jax"),
+        )
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+    except Exception:
+        pass
+
+
+_enable_persistent_cache()
 
 NEG = jnp.int32(-(2**30))
 

@@ -124,9 +124,14 @@ def di_pearson(buf: np.ndarray, di_len: int, w: int, k: int, rsl: int) -> np.nda
     return di_tmp
 
 
-def put_local_maximum(di_tmp, di, di_end, di_w, di_len: int, w: int) -> None:
+def put_local_maximum(di_tmp, di, di_end, di_w, di_len: int, w: int, use_native=True) -> None:
     """put_local_maximum_into_directional_index (:467-503), literal port
     including the in-loop index jump after closing a range."""
+    if use_native:
+        from mtr_tpu import native
+
+        if native.extrema_pair(di_tmp, di, di_end, di_w, di_len, w):
+            return
     local_max = -1.0
     local_max_i = -1
     i = 0
@@ -151,9 +156,14 @@ def put_local_maximum(di_tmp, di, di_end, di_w, di_len: int, w: int) -> None:
         i += 1
 
 
-def remove_redundant_ranges(di, di_end, input_len: int, min_jaccard: float = 0.98) -> None:
+def remove_redundant_ranges(di, di_end, input_len: int, min_jaccard: float = 0.98, use_native=True) -> None:
     """remove_redundant_ranges (:505-546), literal port (cached i-values,
     containment evictions, early break when range i is evicted)."""
+    if use_native:
+        from mtr_tpu import native
+
+        if native.remove_redundant(di, di_end, input_len, min_jaccard):
+            return
     for i in range(input_len):
         i_begin = i
         i_end = int(di_end[i])

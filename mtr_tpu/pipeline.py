@@ -50,7 +50,7 @@ from mtr_tpu.ops.wrap_dp import (
 
 R_BUCKETS = (128, 512, 2048, 8192, 32768, 131072, 524288, 1048576)
 U_BUCKETS = (128, 512)
-B_BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512)
+B_BUCKETS = (8, 32, 128, 512)
 MOVES_BYTES_CAP = 512 << 20  # cap per-dispatch move-tensor footprint
 
 
@@ -112,20 +112,33 @@ class WrapDPBatcher:
         moves, bv, bi, bj = fn(reps, rep_lens, units, unit_lens, schemes)
         moves = np.asarray(moves)
         bv, bi, bj = np.asarray(bv), np.asarray(bi), np.asarray(bj)
+        from mtr_tpu import native
+
+        use_native = native.available()
         for row, idx in enumerate(chunk):
             job = jobs[idx]
             rep_len = job.qe - job.qs + 1
             rep = job.org[job.qs + 1 : job.qs + 1 + rep_len]
             ul = len(job.unit)
             if job.mode == "counts":
-                counts, i_final = traceback_from_moves(
-                    moves[row], bi[row], bj[row], rep, job.unit, ul
-                )
+                if use_native:
+                    counts, i_final = native.traceback_counts(
+                        moves[row], bi[row], bj[row], rep, job.unit, ul
+                    )
+                else:
+                    counts, i_final = traceback_from_moves(
+                        moves[row], bi[row], bj[row], rep, job.unit, ul
+                    )
                 job.result = (counts, i_final, int(bi[row]))
             else:
-                job.result = consensus_from_moves(
-                    moves[row], bi[row], bj[row], rep, job.unit, ul
-                )
+                if use_native:
+                    job.result = native.traceback_consensus(
+                        moves[row], bi[row], bj[row], rep, ul
+                    )
+                else:
+                    job.result = consensus_from_moves(
+                        moves[row], bi[row], bj[row], rep, job.unit, ul
+                    )
 
 
 def apply_counts(rr: RepeatRecord, job: DPJob) -> None:
@@ -252,15 +265,45 @@ def process_batch(states: list[ReadState], batcher: WrapDPBatcher, cfg: MTRConfi
                 w = int(st.di_w[qs])
                 for k in cfg.k_sweep(w):
                     queries.append(RangeQuery(ridx, qs, int(qe), w, k))
-    for q in queries:
-        st = states[q.read_idx]
-        template = RepeatRecord()
-        template.read_id = st.read.read_id
-        template.input_len = st.read.length
-        template.kmer = q.k
-        q.candidates, q.found = walk_candidates(
-            st.org, st.read.length, q.qs, q.qe, template
+    from mtr_tpu import native
+    from mtr_tpu.oracle.dbg import freq_2mer_array
+    from mtr_tpu.utils.encoding import decode_bases
+
+    if cfg.use_native and native.available() and queries:
+        res = native.dbg_walk_batch(
+            [states[q.read_idx].org for q in queries],
+            [states[q.read_idx].read.length for q in queries],
+            [q.qs for q in queries],
+            [q.qe for q in queries],
+            [q.k for q in queries],
         )
+        for i, q in enumerate(queries):
+            st = states[q.read_idx]
+            q.found = int(res["found_last"][i])
+            q.candidates = []
+            for pre in ("fwd", "bwd"):
+                if res[f"{pre}_found"][i]:
+                    period = int(res[f"{pre}_period"][i])
+                    unit = res[f"{pre}_unit"][i][:period].tolist()
+                    cand = RepeatRecord()
+                    cand.read_id = st.read.read_id
+                    cand.input_len = st.read.length
+                    cand.kmer = q.k
+                    cand.rep_period = period
+                    cand.string = decode_bases(unit)
+                    cand.string_score = res[f"{pre}_scores"][i][:period].tolist()
+                    cand.freq_2mer = freq_2mer_array(unit)
+                    q.candidates.append(cand)
+    else:
+        for q in queries:
+            st = states[q.read_idx]
+            template = RepeatRecord()
+            template.read_id = st.read.read_id
+            template.input_len = st.read.length
+            template.kmer = q.k
+            q.candidates, q.found = walk_candidates(
+                st.org, st.read.length, q.qs, q.qe, template
+            )
 
     # phase 3+4a: scheme selection for every candidate
     _wrap_dp_schemes(batcher, [(q, states[q.read_idx].org) for q in queries])

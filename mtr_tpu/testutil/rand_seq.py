@@ -18,6 +18,14 @@ from __future__ import annotations
 
 from mtr_tpu.utils.mt19937 import MT19937
 
+
+def _c_round(x: float) -> int:
+    """C round(): half away from zero (Python's round is half-to-even)."""
+    import math
+
+    return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+
 _MAP = "ATCG"
 
 
@@ -55,9 +63,9 @@ class RandSeq:
     ) -> tuple[str, str]:
         """Returns (sequence, truth_unit)."""
         rep_len = rep_length * block
-        mis_n = round(rep_len * mis_rate / 100)
-        ins_n = round(rep_len * ins_rate / 100)
-        del_n = round(rep_len * del_rate / 100)
+        mis_n = _c_round(rep_len * mis_rate / 100)
+        ins_n = _c_round(rep_len * ins_rate / 100)
+        del_n = _c_round(rep_len * del_rate / 100)
 
         seq = [self.rand_base() for _ in range(pre)]
         row = [0] * rep_len

@@ -1,0 +1,371 @@
+// mtr_host — native host runtime for mtr_tpu.
+//
+// Implements the sequential per-read logic that surrounds the device
+// kernels: DI local-extrema pairing, redundant-range removal, greedy De
+// Bruijn walks with tie-break lookahead, move-tensor tracebacks, unit
+// polishing, and interval chaining.  Each function mirrors its oracle
+// (NumPy) counterpart bit-for-bit; the oracle cites the reference C
+// line numbers.  Exposed through a plain C ABI for ctypes.
+//
+// Build: make -C native   (produces libmtr_host.so)
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+#include <unordered_map>
+#include <thread>
+#include <algorithm>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// 1. DI local-extrema pairing (mirrors oracle/directional_index.py
+//    put_local_maximum; reference fill_directional_index.c:467-503)
+// ---------------------------------------------------------------------------
+void mtr_extrema_pair(const double* di_tmp, int64_t di_len, int64_t w,
+                      double* di, int64_t* di_end, int64_t* di_w) {
+    double local_max = -1.0;
+    int64_t local_max_i = -1;
+    for (int64_t i = 0; i < di_len; i++) {
+        if (local_max < di_tmp[i]) { local_max = di_tmp[i]; local_max_i = i; }
+        if (local_max_i + w < i && local_max_i >= 0 &&
+            di[local_max_i] < local_max && 0.0 < local_max) {
+            double local_min = 1.0;
+            int64_t local_min_j = local_max_i;
+            for (int64_t j = local_max_i; j < di_len; j++) {
+                if (local_min > di_tmp[j]) { local_min = di_tmp[j]; local_min_j = j; }
+                if (local_min_j + w < j) {
+                    di[local_max_i] = local_max;
+                    di_w[local_max_i] = w;
+                    di_end[local_max_i] = local_min_j + w;
+                    i = local_min_j + w;
+                    break;
+                }
+            }
+            local_max = -1.0;
+        }
+    }
+}
+
+// ---------------------------------------------------------------------------
+// 2. redundant-range removal (oracle remove_redundant_ranges;
+//    reference fill_directional_index.c:505-546)
+// ---------------------------------------------------------------------------
+void mtr_remove_redundant(double* di, int64_t* di_end, int64_t input_len,
+                          double min_jaccard) {
+    for (int64_t i = 0; i < input_len; i++) {
+        int64_t i_begin = i;
+        int64_t i_end = di_end[i];
+        double i_di = di[i];
+        if (!(0.0 < i_di)) continue;
+        for (int64_t j = i + 1; j <= i_end; j++) {
+            int64_t j_begin = j;
+            int64_t j_end = di_end[j];
+            double j_di = di[j];
+            if (!(0.0 < j_di)) continue;
+            double jac = (double)(std::min(i_end, j_end) - std::max(i_begin, j_begin)) /
+                         (double)(std::max(i_end, j_end) - std::min(i_begin, j_begin));
+            if (min_jaccard < jac) {
+                if (i_di < j_di) { di[i] = -1.0; di_end[i] = -1; break; }
+                di[j] = -1.0; di_end[j] = -1;
+            } else {
+                if (i_begin >= j_begin && i_end <= j_end && i_di < j_di) {
+                    di[i] = -1.0; di_end[i] = -1; break;
+                }
+                if (i_begin <= j_begin && i_end >= j_end && i_di > j_di) {
+                    di[j] = -1.0; di_end[j] = -1;
+                }
+            }
+        }
+    }
+}
+
+// ---------------------------------------------------------------------------
+// 3. DBG walks (oracle walk_candidates; reference consensus.c:269-582)
+// ---------------------------------------------------------------------------
+namespace {
+
+constexpr int MAX_PERIOD = 500;
+constexpr int MIN_NUM_FREQ_UNIT = 5;
+constexpr int MAX_TIEBREAKS = 1024;
+constexpr int MAX_NUM_MAXNODES = 100;
+
+struct CountTable {
+    std::unordered_map<int64_t, int64_t> counts;
+    int64_t freq(int64_t node) const {
+        auto it = counts.find(node);
+        return it == counts.end() ? 0 : it->second;
+    }
+};
+
+// Build the value multiset of the range [qs, qe]: k-mer codes at
+// positions [qs, min(qe, L-k+1)) then raw bases up to qe inclusive
+// (oracle query_kmer_values).
+static void query_vals(const int32_t* org, int64_t input_len, int k,
+                       int64_t qs, int64_t qe, std::vector<int64_t>& vals) {
+    vals.clear();
+    vals.reserve(qe - qs + 1);
+    int64_t km_end = std::min(qe, input_len - k + 1);
+    if (km_end < qs) km_end = qs;
+    // rolling codes
+    int64_t code = 0;
+    int64_t p4k1 = 1;
+    for (int i = 0; i < k - 1; i++) p4k1 *= 4;
+    for (int64_t i = qs; i < km_end; i++) {
+        if (i == qs) {
+            code = 0;
+            for (int j = 0; j < k; j++) code = code * 4 + org[i + j];
+        } else {
+            code = (code % p4k1) * 4 + org[i + k - 1];
+        }
+        vals.push_back(code);
+    }
+    for (int64_t i = km_end; i <= qe; i++) vals.push_back(org[i]);
+}
+
+struct WalkOut {
+    int found = 0;
+    int period = 0;
+    int32_t unit[MAX_PERIOD];
+    int32_t scores[MAX_PERIOD];
+};
+
+// Shared lookahead (oracle _lookahead_step).  Returns chosen digits and
+// C's post-loop value of m.
+static void lookahead(const CountTable& t, int64_t node, int k, bool forward,
+                      int max_lookahead, const int64_t* pow4,
+                      int64_t* out_digits, int* out_m) {
+    static thread_local std::vector<int64_t> list_tb, ties;
+    list_tb.assign(1, 0);
+    int64_t max_digits = 0;
+    int m = 1;
+    for (; m <= max_lookahead; m++) {
+        int64_t max_count = -1;
+        max_digits = 0;
+        ties.clear();
+        for (int64_t prev : list_tb) {
+            for (int j = 0; j < 4; j++) {
+                int64_t cand, tmp_node;
+                if (forward) {
+                    cand = 4 * prev + j;
+                    tmp_node = pow4[m] * (node % pow4[k - m]) + cand;
+                } else {
+                    cand = (int64_t)j * pow4[m - 1] + prev;
+                    tmp_node = cand * pow4[k - m] + node / pow4[m];
+                }
+                int64_t c = t.freq(tmp_node);
+                if (max_count < c) {
+                    max_count = c;
+                    max_digits = cand;
+                    ties.clear();
+                    ties.push_back(cand);
+                } else if (max_count == c && (int)ties.size() < MAX_TIEBREAKS) {
+                    ties.push_back(cand);
+                }
+            }
+        }
+        bool stop = forward ? (ties.size() == 1) : (ties.size() <= 1);
+        if (stop) break;
+        list_tb = ties;
+    }
+    if (m > max_lookahead) m = max_lookahead + 1;
+    *out_digits = max_digits;
+    *out_m = m;
+}
+
+static void walk_forward(const CountTable& t, int64_t qs, int64_t qe,
+                         int64_t node0, int k, const int64_t* pow4, WalkOut& o) {
+    int64_t node = node0;
+    int actual = 0;
+    int64_t lmax = std::min((int64_t)MAX_PERIOD, (qe - qs) / MIN_NUM_FREQ_UNIT);
+    int l = 0;
+    for (; l < lmax; l++) {
+        o.unit[l] = (int32_t)(node / pow4[k - 1]);
+        o.scores[l] = (int32_t)t.freq(node);
+        int max_lookahead = (l < 10) ? 1 : k;
+        int64_t digits; int m;
+        lookahead(t, node, k, true, max_lookahead, pow4, &digits, &m);
+        node = 4 * (node % pow4[k - 1]) + digits / pow4[m - 1];
+        if (node == node0) {
+            actual = l + 1;
+            if (actual >= MAX_PERIOD) actual = 0;
+            break;
+        }
+    }
+    o.period = actual;
+    o.found = (actual != 0);
+}
+
+static void walk_backward(const CountTable& t, int64_t qs, int64_t qe,
+                          int64_t node0, int k, const int64_t* pow4, WalkOut& o) {
+    int64_t node = node0;
+    int actual = 0;
+    int64_t lmax = std::min((int64_t)MAX_PERIOD, (qe - qs) / MIN_NUM_FREQ_UNIT);
+    for (int l = 0; l < lmax; l++) {
+        int max_lookahead = (l < 10) ? 1 : k;
+        int64_t digits; int m;
+        lookahead(t, node, k, false, max_lookahead, pow4, &digits, &m);
+        node = (digits % 4) * pow4[k - 1] + node / 4;
+        o.unit[l] = (int32_t)(node / pow4[k - 1]);
+        o.scores[l] = (int32_t)t.freq(node);
+        if (node == node0) {
+            actual = l + 1;
+            if (actual >= MAX_PERIOD) actual = 0;
+            break;
+        }
+    }
+    if (actual == 0) { o.found = 0; o.period = 0; return; }
+    std::reverse(o.unit, o.unit + actual);
+    std::reverse(o.scores, o.scores + actual);
+    o.found = (actual < MAX_PERIOD);
+    o.period = (actual < MAX_PERIOD) ? actual : 0;
+}
+
+}  // namespace
+
+// One (range, k) query.  Mirrors oracle walk_candidates: up to one
+// candidate per direction (first looping start node), plus the
+// last-backward-attempt foundLoop return value.
+int mtr_dbg_walk(const int32_t* org, int64_t input_len, int64_t qs, int64_t qe,
+                 int k,
+                 int* fwd_found, int* fwd_period, int32_t* fwd_unit, int32_t* fwd_scores,
+                 int* bwd_found, int* bwd_period, int32_t* bwd_unit, int32_t* bwd_scores) {
+    *fwd_found = 0; *bwd_found = 0; *fwd_period = 0; *bwd_period = 0;
+    int64_t pow4[16];
+    pow4[0] = 1;
+    for (int i = 1; i <= 15; i++) pow4[i] = pow4[i - 1] * 4;
+
+    static thread_local std::vector<int64_t> vals;
+    query_vals(org, input_len, k, qs, qe, vals);
+
+    CountTable t;
+    t.counts.reserve(vals.size() * 2);
+    int64_t max_freq = -1;
+    for (int64_t v : vals) {
+        int64_t c = ++t.counts[v];
+        if (c > max_freq) max_freq = c;
+    }
+    // max-node list in first-occurrence order; counts are decremented in
+    // the live table (the reference never restores them — consensus.c:
+    // 156-164, 199-222 — so the walk sees maxFreq-1 for listed nodes)
+    std::vector<int64_t> max_nodes;
+    for (int64_t v : vals) {
+        auto& c = t.counts[v];
+        if (c == max_freq) {
+            max_nodes.push_back(v);
+            c--;
+            if ((int)max_nodes.size() >= MAX_NUM_MAXNODES) break;
+        }
+    }
+
+    int found = 0;
+    if (max_freq > MIN_NUM_FREQ_UNIT) {
+        WalkOut o;
+        for (int dir = 0; dir < 2; dir++) {
+            for (int64_t node : max_nodes) {
+                o.found = 0; o.period = 0;
+                if (dir == 0) walk_forward(t, qs, qe, node, k, pow4, o);
+                else          walk_backward(t, qs, qe, node, k, pow4, o);
+                found = o.found;
+                if (o.period >= MAX_PERIOD) found = 0;
+                if (found == 1) {
+                    if (dir == 0) {
+                        *fwd_found = 1; *fwd_period = o.period;
+                        std::memcpy(fwd_unit, o.unit, o.period * 4);
+                        std::memcpy(fwd_scores, o.scores, o.period * 4);
+                    } else {
+                        *bwd_found = 1; *bwd_period = o.period;
+                        std::memcpy(bwd_unit, o.unit, o.period * 4);
+                        std::memcpy(bwd_scores, o.scores, o.period * 4);
+                    }
+                    break;  // first loop ends this direction
+                }
+            }
+        }
+    }
+    return found;
+}
+
+// Batched walks with worker threads (queries are independent).
+void mtr_dbg_walk_batch(const int32_t* const* orgs, const int64_t* input_lens,
+                        const int64_t* qss, const int64_t* qes, const int32_t* ks,
+                        int64_t n,
+                        int* fwd_found, int* fwd_period, int32_t* fwd_units, int32_t* fwd_scores,
+                        int* bwd_found, int* bwd_period, int32_t* bwd_units, int32_t* bwd_scores,
+                        int* found_last, int n_threads) {
+    if (n_threads < 1) n_threads = (int)std::thread::hardware_concurrency();
+    auto work = [&](int tid) {
+        for (int64_t i = tid; i < n; i += n_threads) {
+            found_last[i] = mtr_dbg_walk(
+                orgs[i], input_lens[i], qss[i], qes[i], ks[i],
+                &fwd_found[i], &fwd_period[i],
+                fwd_units + i * MAX_PERIOD, fwd_scores + i * MAX_PERIOD,
+                &bwd_found[i], &bwd_period[i],
+                bwd_units + i * MAX_PERIOD, bwd_scores + i * MAX_PERIOD);
+        }
+    };
+    if (n_threads <= 1 || n < 2) { work(0); return; }
+    std::vector<std::thread> th;
+    for (int tIdx = 0; tIdx < n_threads; tIdx++) th.emplace_back(work, tIdx);
+    for (auto& x : th) x.join();
+}
+
+// ---------------------------------------------------------------------------
+// 4/5. move-tensor tracebacks (oracle ops/wrap_dp.py traceback_from_moves /
+//      consensus_from_moves; reference wrap_around_DP.c:294-333)
+// ---------------------------------------------------------------------------
+void mtr_traceback_counts(const uint8_t* moves, int64_t u_pad,
+                          int64_t max_i, int64_t max_j,
+                          const int32_t* rep, const int32_t* unit, int64_t unit_len,
+                          int64_t* out5, int64_t* i_final) {
+    int64_t i = max_i, j = max_j;
+    if (j == 0) j = unit_len;
+    int64_t m = 0, x = 0, ins = 0, del = 0;
+    while (i > 0) {
+        uint8_t mv = moves[i * u_pad + (j - 1)];
+        if (mv == 0) break;
+        if (mv == 1) { if (rep[i - 1] == unit[j - 1]) m++; else x++; i--; j--; }
+        else if (mv == 2) { del++; j--; }
+        else { ins++; i--; }
+        if (j == 0) j = unit_len;
+    }
+    out5[0] = m; out5[1] = x; out5[2] = ins; out5[3] = del; out5[4] = m + x + del;
+    *i_final = i;
+}
+
+void mtr_traceback_consensus(const uint8_t* moves, int64_t u_pad,
+                             int64_t max_i, int64_t max_j,
+                             const int32_t* rep, int64_t unit_len,
+                             int64_t* consensus /*(500,5)*/, int64_t* missing /*(500,4)*/) {
+    int64_t i = max_i, j = max_j;
+    if (j == 0) j = unit_len;
+    while (i > 0) {
+        uint8_t mv = moves[i * u_pad + (j - 1)];
+        if (mv == 0) break;
+        if (mv == 1) { consensus[j * 5 + rep[i - 1]]++; i--; j--; }
+        else if (mv == 2) { consensus[j * 5 + 4]++; j--; }
+        else { missing[j * 4 + rep[i - 1]]++; i--; }
+        if (j == 0) j = unit_len;
+    }
+}
+
+void mtr_traceback_counts_batch(const uint8_t* const* moves, const int64_t* u_pads,
+                                const int64_t* max_is, const int64_t* max_js,
+                                const int32_t* const* reps, const int32_t* const* units,
+                                const int64_t* unit_lens, int64_t n,
+                                int64_t* out5s /* n x 5 */, int64_t* i_finals,
+                                int n_threads) {
+    if (n_threads < 1) n_threads = (int)std::thread::hardware_concurrency();
+    auto work = [&](int tid) {
+        for (int64_t i = tid; i < n; i += n_threads)
+            mtr_traceback_counts(moves[i], u_pads[i], max_is[i], max_js[i],
+                                 reps[i], units[i], unit_lens[i],
+                                 out5s + i * 5, &i_finals[i]);
+    };
+    if (n_threads <= 1 || n < 2) { work(0); return; }
+    std::vector<std::thread> th;
+    for (int tIdx = 0; tIdx < n_threads; tIdx++) th.emplace_back(work, tIdx);
+    for (auto& x : th) x.join();
+}
+
+}  // extern "C"
