@@ -1,22 +1,28 @@
 """Device mesh + sharding layer.
 
 The per-read pipeline is embarrassingly parallel over reads/queries, so
-the primary axis is data parallelism: DP query batches and DI read
-batches shard their leading dim across a 1-D 'dp' mesh
-(SURVEY.md 2.13).  All collectives are XLA-inserted from sharding
-annotations (no hand-written NCCL-style code), so they ride ICI on a
-real slice and plain host memory on the CPU test mesh.
+the primary axis is data parallelism: DP query batches shard their batch
+dim across a 1-D 'dp' mesh (SURVEY.md 2.13).  Collectives are
+XLA-inserted from sharding annotations — no hand-written communication —
+so they ride ICI on a real slice and host memory on the CPU test mesh.
+
+The Pallas fill kernel itself is single-device; shard_map runs one
+instance per device on its local shard of the query batch, which is the
+right granularity (queries are independent; no cross-query reduction).
 """
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
 
-from mtr_tpu.ops.wrap_dp import make_wrap_dp
+from mtr_tpu.ops.wrap_dp_pallas import (
+    make_wrap_dp_pallas,
+    traceback_counts_batch,
+)
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
@@ -26,21 +32,29 @@ def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
-def sharded_wrap_dp(mesh: Mesh, u_pad: int, r_pad: int, axis: str = "dp"):
-    """Batched wrap-DP jitted with the query batch sharded over the mesh.
+def sharded_wrap_dp_step(mesh: Mesh, b: int, u_pad: int, r_pad: int, axis: str = "dp"):
+    """Full DP step (fill + traceback) with the query batch sharded over
+    the mesh; each device runs the Pallas kernel on its local shard."""
+    n_dev = mesh.devices.size
+    assert b % n_dev == 0, "batch must divide the dp axis"
+    local_b = b // n_dev
+    interpret = jax.default_backend() == "cpu"
+    fill = make_wrap_dp_pallas(local_b, u_pad, r_pad, interpret=interpret)
 
-    Inputs shard on their leading (batch) dim; each device fills its
-    queries' DP matrices locally; outputs stay sharded (the host gathers
-    only the small argmax vectors plus the move tensors it needs)."""
-    base = make_wrap_dp(u_pad, r_pad)  # already jit; re-jit with shardings
-    batch_sh = NamedSharding(mesh, P(axis))
+    def local_step(scal, rep, unit):
+        moves, best = fill(scal, rep, unit)
+        counts = traceback_counts_batch(moves, rep, unit, scal[:, 1], best)
+        return counts, best
 
-    fn = jax.jit(
-        base,
-        in_shardings=(batch_sh,) * 5,
-        out_shardings=(batch_sh,) * 4,
+    spec = P(axis)
+    fn = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=(spec, spec),
+        check_vma=False,  # pallas_call out_shape carries no vma info
     )
-    return fn
+    return jax.jit(fn)
 
 
 def device_count() -> int:

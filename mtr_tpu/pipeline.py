@@ -42,15 +42,15 @@ from mtr_tpu.oracle.dbg import (
 )
 from mtr_tpu.oracle.wrap_dp import _assign
 from mtr_tpu.oracle.consensus import polish_repeat, rebuild_unit_from_consensus
-from mtr_tpu.ops.wrap_dp import (
-    get_wrap_dp,
-    traceback_from_moves,
-    consensus_from_moves,
-)
 
-R_BUCKETS = (128, 512, 2048, 8192, 32768, 131072, 524288, 1048576)
+# Every distinct (B, u_pad, r_pad) bucket is a separate Pallas program
+# whose FIRST execution on a proxied TPU backend costs minutes of
+# terminal-side compile, so buckets are deliberately coarse; jobs are
+# sorted by rep_len inside each group so the kernel's tile-skip bounds
+# compute by the chunk's longest query, not the bucket size.
+R_BUCKETS = (4096, 32768, 262144, 1048576)
 U_BUCKETS = (128, 512)
-B_BUCKETS = (8, 32, 128, 512)
+B_BUCKETS = (64,)
 MOVES_BYTES_CAP = 512 << 20  # cap per-dispatch move-tensor footprint
 
 
@@ -73,72 +73,78 @@ class DPJob:
 
 
 class WrapDPBatcher:
-    """Groups DP jobs into (rep, unit, batch) buckets and runs the
-    batched device kernel, then walks the move tensors on host."""
+    """Groups DP jobs into (rep, unit, batch, mode) buckets, runs the
+    Pallas fill kernel, and walks the move tensors ON DEVICE — only the
+    small count/consensus arrays ever cross the host link."""
 
     def run(self, jobs: list[DPJob]) -> None:
-        groups: dict[tuple[int, int], list[int]] = defaultdict(list)
+        groups: dict[tuple[int, int, str], list[int]] = defaultdict(list)
         for idx, job in enumerate(jobs):
             rep_len = job.qe - job.qs + 1
             r_pad = _bucket(rep_len, R_BUCKETS)
             u_pad = _bucket(len(job.unit), U_BUCKETS)
-            groups[(r_pad, u_pad)].append(idx)
+            groups[(r_pad, u_pad, job.mode)].append(idx)
 
-        for (r_pad, u_pad), idxs in sorted(groups.items()):
+        for (r_pad, u_pad, mode), idxs in sorted(groups.items()):
             cap = max(1, MOVES_BYTES_CAP // ((r_pad + 1) * u_pad))
-            fn = get_wrap_dp(u_pad, r_pad)
+            cap = min(cap, B_BUCKETS[-1])
+            idxs.sort(key=lambda i: jobs[i].qe - jobs[i].qs)
             for lo in range(0, len(idxs), cap):
                 chunk = idxs[lo : lo + cap]
-                self._run_chunk(jobs, chunk, fn, r_pad, u_pad)
+                self._run_chunk(jobs, chunk, r_pad, u_pad, mode)
 
-    def _run_chunk(self, jobs, chunk, fn, r_pad, u_pad) -> None:
+    def _run_chunk(self, jobs, chunk, r_pad, u_pad, mode) -> None:
+        from mtr_tpu.ops.wrap_dp_pallas import (
+            get_wrap_dp_pallas,
+            traceback_counts_batch,
+            traceback_consensus_batch,
+        )
+
         n = len(chunk)
         b_pad = _bucket(n, B_BUCKETS) if n <= B_BUCKETS[-1] else n
         reps = np.full((b_pad, r_pad), -1, dtype=np.int32)
-        rep_lens = np.zeros(b_pad, dtype=np.int32)
         units = np.full((b_pad, u_pad), -2, dtype=np.int32)
-        unit_lens = np.full(b_pad, 2, dtype=np.int32)
-        schemes = np.ones((b_pad, 3), dtype=np.int32)
+        scal = np.zeros((b_pad, 8), dtype=np.int32)
         units[:, :2] = 0
+        scal[:, 1] = 2
+        scal[:, 2:5] = 1
         for row, idx in enumerate(chunk):
             job = jobs[idx]
             rep_len = job.qe - job.qs + 1
             seg = job.org[job.qs + 1 : job.qs + 1 + rep_len]
             reps[row, : len(seg)] = seg
-            rep_lens[row] = rep_len
             units[row, : len(job.unit)] = job.unit
-            unit_lens[row] = len(job.unit)
-            schemes[row] = job.scheme
-        moves, bv, bi, bj = fn(reps, rep_lens, units, unit_lens, schemes)
-        moves = np.asarray(moves)
-        bv, bi, bj = np.asarray(bv), np.asarray(bi), np.asarray(bj)
-        from mtr_tpu import native
-
-        use_native = native.available()
-        for row, idx in enumerate(chunk):
-            job = jobs[idx]
-            rep_len = job.qe - job.qs + 1
-            rep = job.org[job.qs + 1 : job.qs + 1 + rep_len]
-            ul = len(job.unit)
-            if job.mode == "counts":
-                if use_native:
-                    counts, i_final = native.traceback_counts(
-                        moves[row], bi[row], bj[row], rep, job.unit, ul
-                    )
-                else:
-                    counts, i_final = traceback_from_moves(
-                        moves[row], bi[row], bj[row], rep, job.unit, ul
-                    )
-                job.result = (counts, i_final, int(bi[row]))
-            else:
-                if use_native:
-                    job.result = native.traceback_consensus(
-                        moves[row], bi[row], bj[row], rep, ul
-                    )
-                else:
-                    job.result = consensus_from_moves(
-                        moves[row], bi[row], bj[row], rep, job.unit, ul
-                    )
+            scal[row, 0] = rep_len
+            scal[row, 1] = len(job.unit)
+            scal[row, 2:5] = job.scheme
+        fn = get_wrap_dp_pallas(b_pad, u_pad, r_pad)
+        moves, best = fn(scal, reps, units)
+        unit_lens = scal[:, 1].copy()
+        # provable path bound: steps <= rep_len * (1 + ceil(MG/IP))
+        factor = 1 + max(
+            -(-jobs[i].scheme[0] // jobs[i].scheme[2]) for i in chunk
+        )
+        if mode == "counts":
+            res = np.asarray(
+                traceback_counts_batch(moves, reps, units, unit_lens, best, factor)
+            )
+            assert res[: len(chunk), 6].all(), "traceback step bound exceeded"
+            best_h = np.asarray(best)
+            for row, idx in enumerate(chunk):
+                m, x, ins, dele, scanned, i_final = (int(v) for v in res[row, :6])
+                jobs[idx].result = (
+                    (m, x, ins, dele, scanned),
+                    i_final,
+                    int(best_h[row, 2]),
+                )
+        else:
+            cons, miss = traceback_consensus_batch(
+                moves, reps, unit_lens, best, factor
+            )
+            cons = np.asarray(cons)
+            miss = np.asarray(miss)
+            for row, idx in enumerate(chunk):
+                jobs[idx].result = (cons[row], miss[row])
 
 
 def apply_counts(rr: RepeatRecord, job: DPJob) -> None:
