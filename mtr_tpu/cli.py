@@ -67,8 +67,10 @@ def main(argv=None) -> int:
 
         run_file(args.fasta, cfg, out)
     if cfg.print_computation_time:
-        print("Computation time", file=sys.stderr)
-        print(f"{time.time() - t0:f}\tall", file=sys.stderr)
+        from mtr_tpu.utils.timers import TIMERS
+
+        TIMERS.add("all", time.time() - t0)
+        TIMERS.print_summary(sys.stderr)
     return 0
 
 

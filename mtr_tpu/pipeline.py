@@ -22,9 +22,12 @@ acceptance order afterwards yields byte-identical output.
 from __future__ import annotations
 
 import dataclasses
+import time
 from collections import defaultdict
 
 import numpy as np
+
+from mtr_tpu.utils.timers import TIMERS
 
 from mtr_tpu.config import MTRConfig, DEFAULT_CONFIG
 from mtr_tpu.records import RepeatRecord, ratio_less
@@ -118,16 +121,20 @@ class WrapDPBatcher:
             scal[row, 1] = len(job.unit)
             scal[row, 2:5] = job.scheme
         fn = get_wrap_dp_pallas(b_pad, u_pad, r_pad)
-        moves, best = fn(scal, reps, units)
+        with TIMERS.section("dp_fill"):
+            moves, best = fn(scal, reps, units)
+        TIMERS.count("dp_jobs", len(chunk))
+        TIMERS.count("dp_chunks")
         unit_lens = scal[:, 1].copy()
         # provable path bound: steps <= rep_len * (1 + ceil(MG/IP))
         factor = 1 + max(
             -(-jobs[i].scheme[0] // jobs[i].scheme[2]) for i in chunk
         )
         if mode == "counts":
-            res = np.asarray(
-                traceback_counts_batch(moves, reps, units, unit_lens, best, factor)
-            )
+            with TIMERS.section("dp_traceback"):
+                res = np.asarray(
+                    traceback_counts_batch(moves, reps, units, unit_lens, best, factor)
+                )
             assert res[: len(chunk), 6].all(), "traceback step bound exceeded"
             best_h = np.asarray(best)
             for row, idx in enumerate(chunk):
@@ -138,11 +145,12 @@ class WrapDPBatcher:
                     int(best_h[row, 2]),
                 )
         else:
-            cons, miss = traceback_consensus_batch(
-                moves, reps, unit_lens, best, factor
-            )
-            cons = np.asarray(cons)
-            miss = np.asarray(miss)
+            with TIMERS.section("dp_traceback"):
+                cons, miss = traceback_consensus_batch(
+                    moves, reps, unit_lens, best, factor
+                )
+                cons = np.asarray(cons)
+                miss = np.asarray(miss)
             for row, idx in enumerate(chunk):
                 jobs[idx].result = (cons[row], miss[row])
 
@@ -275,6 +283,7 @@ def process_batch(states: list[ReadState], batcher: WrapDPBatcher, cfg: MTRConfi
     from mtr_tpu.oracle.dbg import freq_2mer_array
     from mtr_tpu.utils.encoding import decode_bases
 
+    _t_walk = time.time()
     if cfg.use_native and native.available() and queries:
         res = native.dbg_walk_batch(
             [states[q.read_idx].org for q in queries],
@@ -311,11 +320,14 @@ def process_batch(states: list[ReadState], batcher: WrapDPBatcher, cfg: MTRConfi
                 st.org, st.read.length, q.qs, q.qe, template
             )
 
+    TIMERS.add("walks", time.time() - _t_walk)
+
     # phase 3+4a: scheme selection for every candidate
     _wrap_dp_schemes(batcher, [(q, states[q.read_idx].org) for q in queries])
 
     # phase 4b: direction selection + gates -> per-query result; build polish set
     polish_set = []
+    TIMERS.count("queries", len(queries))
     for q in queries:
         st = states[q.read_idx]
         rr = RepeatRecord()
@@ -335,7 +347,8 @@ def process_batch(states: list[ReadState], batcher: WrapDPBatcher, cfg: MTRConfi
             polish_set.append((q, rr))
 
     # phase 5: polish + revision rounds
-    _polish_phase(batcher, states, polish_set, cfg)
+    with TIMERS.section("polish"):
+        _polish_phase(batcher, states, polish_set, cfg)
 
     # phase 6a: k-sweep selection per range
     by_range: dict[tuple[int, int, int], list[RangeQuery]] = defaultdict(list)
@@ -375,7 +388,8 @@ def process_batch(states: list[ReadState], batcher: WrapDPBatcher, cfg: MTRConfi
                             di[i] = -1.0
                             di_end[i] = -1
                             di_w[i] = -1
-        out.append(chain_records(accepted))
+        with TIMERS.section("chaining"):
+            out.append(chain_records(accepted))
     return out
 
 
@@ -410,9 +424,10 @@ def run_file(path: str, cfg: MTRConfig = DEFAULT_CONFIG, out=None):
         L = read.length
         org_eff = arena.org_input[: L + 1].copy()
         rsl = min_rsl if L < min_rsl * 10 else L // 10
-        di, di_end, di_w = fill_directional_index_with_end(
-            arena, L, rsl, manhattan=cfg.manhattan_distance
-        )
+        with TIMERS.section("range"):
+            di, di_end, di_w = fill_directional_index_with_end(
+                arena, L, rsl, manhattan=cfg.manhattan_distance
+            )
         batch.append(ReadState(read, org_eff, di, di_end, di_w))
         if len(batch) >= cfg.reads_per_batch:
             flush()
