@@ -28,6 +28,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Use Pearson's correlation coefficient distance in place of Manhattan distance.")
     p.add_argument("--backend", choices=["oracle", "device", "auto"], default="auto",
                    help="oracle = bit-exact NumPy path; device = batched TPU pipeline.")
+    p.add_argument("--checkpoint", default=None, metavar="PATH",
+                   help="resume file: skips reads already emitted by a previous run.")
+    p.add_argument("--no-strict", action="store_false", dest="strict",
+                   help="skip failing read batches instead of aborting.")
     p.add_argument("fasta", help="input FASTA file")
     return p
 
@@ -65,7 +69,7 @@ def main(argv=None) -> int:
     else:
         from mtr_tpu.pipeline import run_file
 
-        run_file(args.fasta, cfg, out)
+        run_file(args.fasta, cfg, out, checkpoint=args.checkpoint, strict=args.strict)
     if cfg.print_computation_time:
         from mtr_tpu.utils.timers import TIMERS
 

@@ -49,6 +49,9 @@ def _load():
     lib.mtr_remove_redundant.argtypes = [
         ct.POINTER(ct.c_double), ct.POINTER(i64), i64, ct.c_double,
     ]
+    lib.mtr_sliding_l1.argtypes = [
+        ct.POINTER(ct.c_int32), i64, i64, ct.POINTER(i64),
+    ]
     lib.mtr_dbg_walk_batch.argtypes = [
         ct.POINTER(ct.c_void_p), ct.POINTER(i64), ct.POINTER(i64),
         ct.POINTER(i64), ct.POINTER(ct.c_int32), i64,
@@ -167,3 +170,14 @@ def traceback_consensus(moves: np.ndarray, max_i, max_j, rep, unit_len):
         _ip64(consensus), _ip64(missing),
     )
     return consensus, missing
+
+
+def sliding_l1(vals: np.ndarray, w: int, n_out: int):
+    """Native incremental sliding-L1 (returns None without the lib)."""
+    lib = _load()
+    if lib is None:
+        return None
+    vals = np.ascontiguousarray(vals, np.int32)
+    out = np.zeros(n_out, np.int64)
+    lib.mtr_sliding_l1(_ip32(vals), n_out, w, _ip64(out))
+    return out

@@ -46,9 +46,16 @@ def init_input_w_rand(arena: Arena, k: int, input_len: int, rsl: int) -> None:
         buf[:n_codes] = rolling_kmer_codes(buf[: L + 2 * rsl].copy(), k)
 
 
-def sliding_l1(vals: np.ndarray, w: int, n_out: int, chunk: int = 256) -> np.ndarray:
+def sliding_l1(vals: np.ndarray, w: int, n_out: int, chunk: int = 256, use_native=True) -> np.ndarray:
     """D[i] = sum_v |count_v(vals[i:i+w]) - count_v(vals[i+w:i+2w])|
-    for i in [0, n_out), via per-symbol prefix sums (exact, integer)."""
+    for i in [0, n_out), via per-symbol prefix sums (exact, integer).
+    Uses the native incremental-histogram path when available (~100x)."""
+    if use_native and n_out > 0:
+        from mtr_tpu import native
+
+        res = native.sliding_l1(vals, w, n_out)
+        if res is not None:
+            return res
     n_pos = n_out + 2 * w - 1
     used = vals[:n_pos]
     D = np.zeros(n_out, dtype=np.int64)

@@ -393,8 +393,23 @@ def process_batch(states: list[ReadState], batcher: WrapDPBatcher, cfg: MTRConfi
     return out
 
 
-def run_file(path: str, cfg: MTRConfig = DEFAULT_CONFIG, out=None):
-    """Batched device-backed equivalent of handle_one_file."""
+def run_file(
+    path: str,
+    cfg: MTRConfig = DEFAULT_CONFIG,
+    out=None,
+    checkpoint: str | None = None,
+    strict: bool = True,
+):
+    """Batched device-backed equivalent of handle_one_file.
+
+    checkpoint: optional path recording the number of fully emitted
+    reads; on restart, reads up to that count are skipped and output
+    resumes exactly where the previous run stopped (the reference has no
+    resume story — partial runs restart from scratch).
+    strict: when False, a failing read batch is reported to stderr and
+    skipped instead of aborting the file (failure isolation for
+    production sweeps).
+    """
     import sys
 
     if out is None:
@@ -402,12 +417,30 @@ def run_file(path: str, cfg: MTRConfig = DEFAULT_CONFIG, out=None):
     arena = Arena(cfg.max_input_length)
     batcher = WrapDPBatcher()
     batch: list[ReadState] = []
+    done_reads = 0
+    skip = 0
+    if checkpoint:
+        try:
+            with open(checkpoint) as f:
+                skip = int(f.read().strip() or 0)
+        except FileNotFoundError:
+            skip = 0
 
     def flush():
-        nonlocal batch
+        nonlocal batch, done_reads
         if not batch:
             return
-        for st, records in zip(batch, process_batch(batch, batcher, cfg)):
+        try:
+            results = process_batch(batch, batcher, cfg)
+        except Exception as e:  # pragma: no cover - failure isolation
+            if strict:
+                raise
+            print(
+                f"warning: batch of {len(batch)} reads failed ({e}); skipped",
+                file=sys.stderr,
+            )
+            results = [[] for _ in batch]
+        for st, records in zip(batch, results):
             for rec in records:
                 out.write(rec.format_record() + "\n")
                 if cfg.print_alignment:
@@ -415,12 +448,18 @@ def run_file(path: str, cfg: MTRConfig = DEFAULT_CONFIG, out=None):
 
                     out.write("\n")
                     pretty_print_alignment(st.org, rec, out)
-            out.flush()
+            done_reads += 1
+        out.flush()
+        if checkpoint:
+            with open(checkpoint, "w") as f:
+                f.write(str(done_reads + skip))
         batch = []
 
     min_rsl = 100
-    for read in iter_fasta(path, cfg.max_input_length):
-        arena.load_read(read.codes)
+    for ridx, read in enumerate(iter_fasta(path, cfg.max_input_length)):
+        arena.load_read(read.codes)  # keep arena reuse semantics even when skipping
+        if ridx < skip:
+            continue
         L = read.length
         org_eff = arena.org_input[: L + 1].copy()
         rsl = min_rsl if L < min_rsl * 10 else L // 10

@@ -81,6 +81,38 @@ void mtr_remove_redundant(double* di, int64_t* di_end, int64_t input_len,
 }
 
 // ---------------------------------------------------------------------------
+// 2b. sliding-window L1 distance for the DI numerator
+//     D[i] = sum_v |count_v(vals[i:i+w]) - count_v(vals[i+w:i+2w])|
+//     Incremental histogram updates, O(n) total (oracle sliding_l1).
+// ---------------------------------------------------------------------------
+void mtr_sliding_l1(const int32_t* vals, int64_t n_out, int64_t w, int64_t* D) {
+    if (n_out <= 0) return;
+    int64_t n_pos = n_out + 2 * w - 1;
+    int32_t vmax = 0;
+    for (int64_t i = 0; i < n_pos; i++) if (vals[i] > vmax) vmax = vals[i];
+    std::vector<int32_t> h1(vmax + 1, 0), h2(vmax + 1, 0);
+    int64_t d = 0;
+    for (int64_t i = 0; i < w; i++) { h1[vals[i]]++; h2[vals[i + w]]++; }
+    for (int32_t v = 0; v <= vmax; v++) d += std::abs(h1[v] - h2[v]);
+    D[0] = d;
+    auto upd = [&](std::vector<int32_t>& ha, std::vector<int32_t>& hb,
+                   int32_t v, int32_t delta) {
+        d -= std::abs(ha[v] - hb[v]);
+        ha[v] += delta;
+        d += std::abs(ha[v] - hb[v]);
+    };
+    for (int64_t i = 1; i < n_out; i++) {
+        // window1 [i, i+w): drop vals[i-1], add vals[i-1+w]
+        upd(h1, h2, vals[i - 1], -1);
+        upd(h1, h2, vals[i - 1 + w], +1);
+        // window2 [i+w, i+2w): drop vals[i-1+w], add vals[i-1+2w]
+        upd(h2, h1, vals[i - 1 + w], -1);
+        upd(h2, h1, vals[i - 1 + 2 * w], +1);
+        D[i] = d;
+    }
+}
+
+// ---------------------------------------------------------------------------
 // 3. DBG walks (oracle walk_candidates; reference consensus.c:269-582)
 // ---------------------------------------------------------------------------
 namespace {
