@@ -53,8 +53,8 @@ from mtr_tpu.oracle.consensus import polish_repeat, rebuild_unit_from_consensus
 # compute by the chunk's longest query, not the bucket size.
 R_BUCKETS = (4096, 32768, 262144, 1048576)
 U_BUCKETS = (128, 512)
-B_BUCKETS = (64,)
-MOVES_BYTES_CAP = 512 << 20  # cap per-dispatch move-tensor footprint
+B_BUCKETS = (512,)
+MOVES_BYTES_CAP = 1 << 30  # cap per-dispatch move-tensor footprint
 
 
 def _bucket(v: int, buckets) -> int:
@@ -88,15 +88,20 @@ class WrapDPBatcher:
             u_pad = _bucket(len(job.unit), U_BUCKETS)
             groups[(r_pad, u_pad, job.mode)].append(idx)
 
+        pending = []
         for (r_pad, u_pad, mode), idxs in sorted(groups.items()):
             cap = max(1, MOVES_BYTES_CAP // ((r_pad + 1) * u_pad))
             cap = min(cap, B_BUCKETS[-1])
             idxs.sort(key=lambda i: jobs[i].qe - jobs[i].qs)
             for lo in range(0, len(idxs), cap):
                 chunk = idxs[lo : lo + cap]
-                self._run_chunk(jobs, chunk, r_pad, u_pad, mode)
+                # dispatch is async: later chunks' host-side padding
+                # overlaps earlier chunks' device execution
+                pending.append(self._dispatch_chunk(jobs, chunk, r_pad, u_pad, mode))
+        for item in pending:
+            self._collect_chunk(jobs, *item)
 
-    def _run_chunk(self, jobs, chunk, r_pad, u_pad, mode) -> None:
+    def _dispatch_chunk(self, jobs, chunk, r_pad, u_pad, mode):
         from mtr_tpu.ops.wrap_dp_pallas import (
             get_wrap_dp_pallas,
             traceback_counts_batch,
@@ -131,12 +136,18 @@ class WrapDPBatcher:
             -(-jobs[i].scheme[0] // jobs[i].scheme[2]) for i in chunk
         )
         if mode == "counts":
+            res = traceback_counts_batch(moves, reps, units, unit_lens, best, factor)
+            return (chunk, mode, (res, best))
+        cons_miss = traceback_consensus_batch(moves, reps, unit_lens, best, factor)
+        return (chunk, mode, cons_miss)
+
+    def _collect_chunk(self, jobs, chunk, mode, payload) -> None:
+        if mode == "counts":
+            res_d, best_d = payload
             with TIMERS.section("dp_traceback"):
-                res = np.asarray(
-                    traceback_counts_batch(moves, reps, units, unit_lens, best, factor)
-                )
+                res = np.asarray(res_d)
+                best_h = np.asarray(best_d)
             assert res[: len(chunk), 6].all(), "traceback step bound exceeded"
-            best_h = np.asarray(best)
             for row, idx in enumerate(chunk):
                 m, x, ins, dele, scanned, i_final = (int(v) for v in res[row, :6])
                 jobs[idx].result = (
@@ -146,11 +157,8 @@ class WrapDPBatcher:
                 )
         else:
             with TIMERS.section("dp_traceback"):
-                cons, miss = traceback_consensus_batch(
-                    moves, reps, unit_lens, best, factor
-                )
-                cons = np.asarray(cons)
-                miss = np.asarray(miss)
+                cons = np.asarray(payload[0])
+                miss = np.asarray(payload[1])
             for row, idx in enumerate(chunk):
                 jobs[idx].result = (cons[row], miss[row])
 
