@@ -61,6 +61,12 @@ def _load():
         ct.POINTER(ct.c_int32), ct.POINTER(ct.c_int32),
         ct.POINTER(ct.c_int32), ct.c_int,
     ]
+    lib.mtr_wrap_dp_batch.argtypes = [
+        ct.POINTER(ct.c_void_p), ct.POINTER(i64), ct.POINTER(i64),
+        ct.POINTER(ct.c_int32), ct.POINTER(ct.c_int32), ct.POINTER(ct.c_int32),
+        ct.POINTER(ct.c_int32), i64,
+        ct.POINTER(i64), ct.POINTER(i64), ct.POINTER(i64), ct.c_int,
+    ]
     lib.mtr_traceback_counts.argtypes = [
         ct.POINTER(ct.c_uint8), i64, i64, i64,
         ct.POINTER(ct.c_int32), ct.POINTER(ct.c_int32), i64,
@@ -117,14 +123,16 @@ def dbg_walk_batch(orgs: list[np.ndarray], input_lens, qss, qes, ks, n_threads=0
     qss = np.asarray(qss, np.int64)
     qes = np.asarray(qes, np.int64)
     ks = np.asarray(ks, np.int32)
+    # np.empty: the C++ side writes every row it reports found for, and
+    # only found rows are read back (zeroing 1 GB/batch showed up in profiles)
     ff = np.zeros(n, np.int32)
     fp = np.zeros(n, np.int32)
-    fu = np.zeros((n, MAX_PERIOD), np.int32)
-    fs = np.zeros((n, MAX_PERIOD), np.int32)
+    fu = np.empty((n, MAX_PERIOD), np.int32)
+    fs = np.empty((n, MAX_PERIOD), np.int32)
     bf = np.zeros(n, np.int32)
     bp = np.zeros(n, np.int32)
-    bu = np.zeros((n, MAX_PERIOD), np.int32)
-    bs = np.zeros((n, MAX_PERIOD), np.int32)
+    bu = np.empty((n, MAX_PERIOD), np.int32)
+    bs = np.empty((n, MAX_PERIOD), np.int32)
     fl = np.zeros(n, np.int32)
     lib.mtr_dbg_walk_batch(
         org_ptrs, _ip64(input_lens), _ip64(qss), _ip64(qes), _ip32(ks), n,
@@ -181,3 +189,30 @@ def sliding_l1(vals: np.ndarray, w: int, n_out: int):
     out = np.zeros(n_out, np.int64)
     lib.mtr_sliding_l1(_ip32(vals), n_out, w, _ip64(out))
     return out
+
+
+def wrap_dp_batch(orgs, qss, qes, units, unit_lens, schemes, modes, n_threads=0):
+    """Host wrap-DP batch.  units: (n,500) int32; returns
+    (counts (n,7) int64, consensus (n,500,5), missing (n,500,4)) or None.
+    Consensus/missing rows are only valid for mode-1 jobs."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(orgs)
+    org_ptrs = (ct.c_void_p * n)(*[o.ctypes.data for o in orgs])
+    qss = np.ascontiguousarray(qss, np.int64)
+    qes = np.ascontiguousarray(qes, np.int64)
+    units = np.ascontiguousarray(units, np.int32)
+    unit_lens = np.ascontiguousarray(unit_lens, np.int32)
+    schemes = np.ascontiguousarray(schemes, np.int32)
+    modes = np.ascontiguousarray(modes, np.int32)
+    counts = np.zeros((n, 7), np.int64)
+    n_cons = int(modes.sum())
+    consensus = np.zeros((n, 500, 5), np.int64) if n_cons else np.zeros((1, 500, 5), np.int64)
+    missing = np.zeros((n, 500, 4), np.int64) if n_cons else np.zeros((1, 500, 4), np.int64)
+    lib.mtr_wrap_dp_batch(
+        org_ptrs, _ip64(qss), _ip64(qes), _ip32(units), _ip32(unit_lens),
+        _ip32(schemes), _ip32(modes), n,
+        _ip64(counts), _ip64(consensus), _ip64(missing), n_threads,
+    )
+    return counts, consensus, missing

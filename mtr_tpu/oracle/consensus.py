@@ -227,20 +227,25 @@ def rebuild_unit_from_consensus(rr: RepeatRecord, consensus, missing) -> None:
     the column), plus insertion of significantly-supported missing
     bases.  Shared by the oracle and the device pipeline."""
     unit_len = rr.rep_period
-    revised: list[int] = []
     coverage = rr.repeat_len // rr.rep_period
     mismatch_ratio = (
         rr.num_mismatches + rr.num_insertions + rr.num_deletions
     ) / rr.repeat_len
-    for j in range(1, unit_len + 1):
-        max_base = int(np.argmax(consensus[j]))  # first max (ties -> smaller base)
-        if max_base < 4:
-            revised.append(max_base)
-        max_v = int(missing[j].max())
-        max_missing = int(np.argmax(missing[j]))
-        if 5 <= coverage <= 20:
-            if min_missing(rr.rep_period, mismatch_ratio, coverage) <= max_v and 0 <= max_missing <= 3:
-                revised.append(max_missing)
+    cons = np.asarray(consensus[1 : unit_len + 1])
+    miss = np.asarray(missing[1 : unit_len + 1])
+    max_bases = np.argmax(cons, axis=1)            # first max (ties -> smaller base)
+    max_vs = miss.max(axis=1)
+    max_missings = np.argmax(miss, axis=1)
+    insert_ok = np.zeros(unit_len, dtype=bool)
+    if 5 <= coverage <= 20:
+        thr = min_missing(rr.rep_period, mismatch_ratio, coverage)
+        insert_ok = max_vs >= thr                  # max_missing is always in 0..3
+    revised: list[int] = []
+    for j in range(unit_len):
+        if max_bases[j] < 4:
+            revised.append(int(max_bases[j]))
+        if insert_ok[j]:
+            revised.append(int(max_missings[j]))
     rr.rep_period = len(revised)
     rr.string = decode_bases(revised)
 

@@ -165,13 +165,17 @@ def wrap_around_dp(org, query_start, query_end, rr: RepeatRecord):
     _assign(rr, best)
 
 
+_ASSIGN_FIELDS = (
+    "read_id input_len rep_start rep_end repeat_len rep_period "
+    "num_freq_unit num_matches num_mismatches num_insertions "
+    "num_deletions kmer match_gain mismatch_penalty indel_penalty string"
+).split()
+
+
 def _assign(dst: RepeatRecord, src: RepeatRecord) -> None:
     """set_rr equivalent (fill_directional_index.c:62-84)."""
-    for f in (
-        "read_id input_len rep_start rep_end repeat_len rep_period "
-        "num_freq_unit num_matches num_mismatches num_insertions "
-        "num_deletions kmer match_gain mismatch_penalty indel_penalty string"
-    ).split():
-        setattr(dst, f, getattr(src, f))
-    dst.string_score = list(src.string_score)
-    dst.freq_2mer = list(src.freq_2mer)
+    d, sdict = dst.__dict__, src.__dict__
+    for f in _ASSIGN_FIELDS:
+        d[f] = sdict[f]
+    d["string_score"] = list(sdict["string_score"])
+    d["freq_2mer"] = list(sdict["freq_2mer"])

@@ -51,10 +51,16 @@ from mtr_tpu.oracle.consensus import polish_repeat, rebuild_unit_from_consensus
 # terminal-side compile, so buckets are deliberately coarse; jobs are
 # sorted by rep_len inside each group so the kernel's tile-skip bounds
 # compute by the chunk's longest query, not the bucket size.
+import os as _os
+
 R_BUCKETS = (4096, 32768, 262144, 1048576)
-U_BUCKETS = (128, 512)
+# MTR_TPU_MIN_PROGRAMS collapses the unit buckets so a whole workload
+# runs on ONE fill program per r-bucket (the axon terminal's program
+# load cost makes extra shapes expensive; bench mode sets this)
+U_BUCKETS = (512,) if _os.environ.get("MTR_TPU_MIN_PROGRAMS") else (128, 512)
 B_BUCKETS = (512,)
 MOVES_BYTES_CAP = 1 << 30  # cap per-dispatch move-tensor footprint
+TB_FACTOR = 6  # one traceback bound for every scheme -> one program
 
 
 def _bucket(v: int, buckets) -> int:
@@ -131,14 +137,13 @@ class WrapDPBatcher:
         TIMERS.count("dp_jobs", len(chunk))
         TIMERS.count("dp_chunks")
         unit_lens = scal[:, 1].copy()
-        # provable path bound: steps <= rep_len * (1 + ceil(MG/IP))
-        factor = 1 + max(
-            -(-jobs[i].scheme[0] // jobs[i].scheme[2]) for i in chunk
-        )
+        # provable path bound: steps <= rep_len * (1 + ceil(MG/IP)) <=
+        # rep_len * TB_FACTOR for every scheme in use; a single bound
+        # keeps the traceback to one compiled program per mode
         if mode == "counts":
-            res = traceback_counts_batch(moves, reps, units, unit_lens, best, factor)
+            res = traceback_counts_batch(moves, reps, units, unit_lens, best, TB_FACTOR)
             return (chunk, mode, (res, best))
-        cons_miss = traceback_consensus_batch(moves, reps, unit_lens, best, factor)
+        cons_miss = traceback_consensus_batch(moves, reps, unit_lens, best, TB_FACTOR)
         return (chunk, mode, cons_miss)
 
     def _collect_chunk(self, jobs, chunk, mode, payload) -> None:
@@ -161,6 +166,66 @@ class WrapDPBatcher:
                 miss = np.asarray(payload[1])
             for row, idx in enumerate(chunk):
                 jobs[idx].result = (cons[row], miss[row])
+
+
+class HostDPBatcher:
+    """Native C++ wrap-DP engine (threaded scalar fills) with the same
+    job interface as WrapDPBatcher.  Used when no TPU is usable and as a
+    cross-check implementation."""
+
+    def run(self, jobs: list[DPJob]) -> None:
+        from mtr_tpu import native
+
+        if not jobs:
+            return
+        n = len(jobs)
+        units = np.zeros((n, 500), np.int32)
+        ulens = np.zeros(n, np.int32)
+        schemes = np.zeros((n, 3), np.int32)
+        modes = np.zeros(n, np.int32)
+        orgs, qss, qes = [], [], []
+        for q, job in enumerate(jobs):
+            units[q, : len(job.unit)] = job.unit
+            ulens[q] = len(job.unit)
+            schemes[q] = job.scheme
+            modes[q] = 0 if job.mode == "counts" else 1
+            orgs.append(np.ascontiguousarray(job.org, np.int32))
+            qss.append(job.qs)
+            qes.append(job.qe)
+        with TIMERS.section("dp_fill"):
+            res = native.wrap_dp_batch(orgs, qss, qes, units, ulens, schemes, modes)
+        if res is None:
+            raise RuntimeError("native library unavailable for host DP")
+        counts, cons, miss = res
+        TIMERS.count("dp_jobs", n)
+        for q, job in enumerate(jobs):
+            if job.mode == "counts":
+                m, x, ins, dele, scanned, i_final, max_i = (
+                    int(v) for v in counts[q]
+                )
+                job.result = ((m, x, ins, dele, scanned), i_final, max_i)
+            else:
+                job.result = (cons[q], miss[q])
+
+
+def make_batcher(cfg: MTRConfig):
+    """Pick the DP engine: device (Pallas) when a TPU backend is
+    initialized, else the native host engine."""
+    if cfg.backend == "device":
+        return WrapDPBatcher()
+    if cfg.backend == "host":
+        return HostDPBatcher()
+    # auto
+    try:
+        import jax
+
+        if jax.default_backend() != "cpu":
+            return WrapDPBatcher()
+    except Exception:
+        pass
+    from mtr_tpu import native
+
+    return HostDPBatcher() if native.available() else WrapDPBatcher()
 
 
 def apply_counts(rr: RepeatRecord, job: DPJob) -> None:
@@ -334,20 +399,21 @@ def process_batch(states: list[ReadState], batcher: WrapDPBatcher, cfg: MTRConfi
     _wrap_dp_schemes(batcher, [(q, states[q.read_idx].org) for q in queries])
 
     # phase 4b: direction selection + gates -> per-query result; build polish set
+    # (None result = cleared record; avoids building 1000s of empty records)
     polish_set = []
     TIMERS.count("queries", len(queries))
     for q in queries:
+        if not q.candidates or q.found == 0:
+            q.result = None
+            continue
         st = states[q.read_idx]
         rr = RepeatRecord()
         rr.read_id = st.read.read_id
         rr.input_len = st.read.length
         rr.kmer = q.k
         select_dp_candidate(rr, q.candidates, cfg.min_match_ratio)
-        if q.found == 0:
-            q.result = RepeatRecord()
-            continue
         if rr.rep_period * (q.qe - q.qs + 1) > cfg.wrap_dp_size:
-            q.result = RepeatRecord()
+            q.result = None
             continue
         q.result = rr
         coverage = rr.repeat_len // rr.rep_period
@@ -364,10 +430,12 @@ def process_batch(states: list[ReadState], batcher: WrapDPBatcher, cfg: MTRConfi
         by_range[(q.read_idx, q.qs, q.qe)].append(q)
     range_result: dict[tuple[int, int, int], RepeatRecord] = {}
     for key, qs_list in by_range.items():
-        best = RepeatRecord()
+        best = None
         max_ratio = -1.0
         for q in sorted(qs_list, key=lambda x: x.k):
             tmp = q.result
+            if tmp is None:
+                continue  # cleared records never pass the filters below
             r = tmp.match_ratio()
             if (
                 ratio_less(max_ratio, r)
@@ -376,7 +444,7 @@ def process_batch(states: list[ReadState], batcher: WrapDPBatcher, cfg: MTRConfi
                 and MIN_PERIOD <= tmp.rep_period
             ):
                 max_ratio = r
-                _assign(best, tmp)
+                best = tmp
         range_result[key] = best
 
     # phase 6b: sequential acceptance replay + chaining
@@ -389,7 +457,7 @@ def process_batch(states: list[ReadState], batcher: WrapDPBatcher, cfg: MTRConfi
             qe = int(di_end[qs])
             if -1 < qe < L:
                 rr = range_result[(ridx, qs, qe)]
-                if rr.repeat_len > 0 and rr.rep_start + MIN_PERIOD * MIN_NUM_FREQ_UNIT < rr.rep_end:
+                if rr is not None and rr.repeat_len > 0 and rr.rep_start + MIN_PERIOD * MIN_NUM_FREQ_UNIT < rr.rep_end:
                     accepted.append(rr)
                     for i in range(rr.rep_start, rr.rep_end):
                         if di[i] != -1 and di_end[i] < rr.rep_end:
@@ -423,7 +491,7 @@ def run_file(
     if out is None:
         out = sys.stdout
     arena = Arena(cfg.max_input_length)
-    batcher = WrapDPBatcher()
+    batcher = make_batcher(cfg)
     batch: list[ReadState] = []
     done_reads = 0
     skip = 0

@@ -36,7 +36,8 @@ class RepeatRecord:
     freq_2mer: list = dataclasses.field(default_factory=lambda: [-1] * 16)
 
     def copy(self) -> "RepeatRecord":
-        c = dataclasses.replace(self)
+        c = RepeatRecord.__new__(RepeatRecord)
+        c.__dict__.update(self.__dict__)
         c.string_score = list(self.string_score)
         c.freq_2mer = list(self.freq_2mer)
         return c

@@ -400,4 +400,117 @@ void mtr_traceback_counts_batch(const uint8_t* const* moves, const int64_t* u_pa
     for (auto& x : th) x.join();
 }
 
+// ---------------------------------------------------------------------------
+// 6. wrap-around DP on host — scalar fill + traceback mirroring
+//    wrap_around_DP.c:222-354 bit-for-bit (same recurrence, row-major
+//    first-occurrence argmax, traceback precedence M > X > D > I).
+//    Used as the device-kernel fallback and as a cross-check engine.
+// ---------------------------------------------------------------------------
+namespace {
+
+struct DPOut {
+    int64_t m = 0, x = 0, ins = 0, del = 0, scanned = 0;
+    int64_t i_final = 0, max_i = 0;
+};
+
+// mode 0: counts only; mode 1: consensus/missing accumulation
+static void wrap_dp_one(const int32_t* rep /*1-origin via rep[i-1]*/, int64_t rep_len,
+                        const int32_t* unit, int64_t unit_len,
+                        int32_t mg, int32_t mp, int32_t ip, int mode,
+                        DPOut* out, int64_t* consensus /*(500,5)*/,
+                        int64_t* missing /*(500,4)*/,
+                        std::vector<int32_t>& Dbuf) {
+    int64_t stride = unit_len + 1;
+    Dbuf.assign((rep_len + 1) * stride, 0);
+    int32_t* D = Dbuf.data();
+    int64_t max_wrd = 0, max_i = 0, max_j = 0;
+    for (int64_t i = 1; i <= rep_len; i++) {
+        int32_t ri = rep[i - 1];
+        int32_t* cur = D + i * stride;
+        const int32_t* prev = D + (i - 1) * stride;
+        for (int64_t j = 1; j <= unit_len; j++) {
+            int32_t v;
+            if (ri == unit[j - 1]) {
+                v = prev[j - 1] + mg;
+            } else {
+                int32_t a = prev[j - 1] - mp;
+                int32_t b = prev[j] - ip;
+                v = a > b ? a : b;
+                if (j > 1) {
+                    int32_t c = cur[j - 1] - ip;
+                    if (c > v) v = c;
+                }
+                if (v < 0) v = 0;
+            }
+            cur[j] = v;
+            if (max_wrd < v) { max_wrd = v; max_i = i; max_j = j; }
+        }
+        cur[0] = cur[unit_len];  // wrap column
+    }
+    int64_t i = max_i, j = max_j;
+    if (j == 0) j = unit_len;
+    int64_t v = max_wrd;
+    while (i > 0 && D[i * stride + j] > 0) {
+        const int32_t* prev = D + (i - 1) * stride;
+        const int32_t* cur = D + i * stride;
+        if (rep[i - 1] == unit[j - 1] && v == prev[j - 1] + mg) {
+            if (mode) consensus[j * 5 + rep[i - 1]]++;
+            else { out->m++; out->scanned++; }
+            v -= mg; i--; j--;
+        } else if (rep[i - 1] != unit[j - 1] && v == prev[j - 1] - mp) {
+            if (mode) consensus[j * 5 + rep[i - 1]]++;
+            else { out->x++; out->scanned++; }
+            v += mp; i--; j--;
+        } else if (v == cur[j - 1] - ip) {
+            if (mode) consensus[j * 5 + 4]++;
+            else { out->del++; out->scanned++; }
+            v += ip; j--;
+        } else if (v == prev[j] - ip) {
+            if (mode) missing[j * 4 + rep[i - 1]]++;
+            else out->ins++;
+            v += ip; i--;
+        } else {
+            break;  // v == 0
+        }
+        if (j == 0) j = unit_len;
+    }
+    out->i_final = i;
+    out->max_i = max_i;
+}
+
+}  // namespace
+
+// Batched host DP.  Layout per job:
+//   units: (n, 500) int32, unit_lens (n,), schemes (n, 3) int32
+//   outputs counts: (n, 7) int64 [m, x, ins, del, scanned, i_final, max_i]
+//   consensus mode: consensus (n, 500, 5) int64, missing (n, 500, 4) int64
+void mtr_wrap_dp_batch(const int32_t* const* orgs, const int64_t* qss,
+                       const int64_t* qes, const int32_t* units,
+                       const int32_t* unit_lens, const int32_t* schemes,
+                       const int32_t* modes, int64_t n,
+                       int64_t* counts, int64_t* consensus, int64_t* missing,
+                       int n_threads) {
+    if (n_threads < 1) n_threads = (int)std::thread::hardware_concurrency();
+    auto work = [&](int tid) {
+        std::vector<int32_t> Dbuf;
+        for (int64_t q = tid; q < n; q += n_threads) {
+            int64_t rep_len = qes[q] - qss[q] + 1;
+            const int32_t* rep = orgs[q] + qss[q] + 1;
+            DPOut o;
+            int64_t* cons_q = modes[q] ? consensus + q * 2500 : nullptr;
+            int64_t* miss_q = modes[q] ? missing + q * 2000 : nullptr;
+            wrap_dp_one(rep, rep_len, units + q * 500, unit_lens[q],
+                        schemes[q * 3], schemes[q * 3 + 1], schemes[q * 3 + 2],
+                        modes[q], &o, cons_q, miss_q, Dbuf);
+            int64_t* c = counts + q * 7;
+            c[0] = o.m; c[1] = o.x; c[2] = o.ins; c[3] = o.del;
+            c[4] = o.scanned; c[5] = o.i_final; c[6] = o.max_i;
+        }
+    };
+    if (n_threads <= 1 || n < 2) { work(0); return; }
+    std::vector<std::thread> th;
+    for (int tIdx = 0; tIdx < n_threads; tIdx++) th.emplace_back(work, tIdx);
+    for (auto& t : th) t.join();
+}
+
 }  // extern "C"
