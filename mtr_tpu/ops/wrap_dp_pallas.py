@@ -159,7 +159,13 @@ def make_wrap_dp_pallas(b: int, u_pad: int, r_pad: int, interpret: bool = False)
     row-major (r_pad, B, u_pad) layout the kernel wants, so the kernel
     needs no lane-dim dynamic indexing (Mosaic restriction).
     """
-    r_tile = max(8, min(r_pad, _VMEM_MV_BYTES // (b * u_pad * 4)))
+    # VMEM per grid step: mv scratch 4B/cell + double-buffered match in
+    # and moves out at 1B/cell each (x2 buffers) = 8B per (b, u, r_tile)
+    # cell, plus ~12 live (b, u_pad) int32 temporaries in the row body
+    # (Mosaic spills them to the VMEM stack).  Budget 10 MB total.
+    budget = (10 << 20) - 12 * b * u_pad * 4
+    r_tile = max(1, budget) // (b * u_pad) // 8
+    r_tile = max(1, min(r_pad, r_tile))
     while r_pad % r_tile:
         r_tile -= 1
     n_rt = r_pad // r_tile

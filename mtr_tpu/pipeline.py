@@ -58,7 +58,9 @@ R_BUCKETS = (4096, 32768, 262144, 1048576)
 # runs on ONE fill program per r-bucket (the axon terminal's program
 # load cost makes extra shapes expensive; bench mode sets this)
 U_BUCKETS = (512,) if _os.environ.get("MTR_TPU_MIN_PROGRAMS") else (128, 512)
-B_BUCKETS = (512,)
+# batch rides the sublane dim; the kernel keeps ~12 live (B, u_pad)
+# int32 vectors, so B*u_pad is VMEM-bounded: B = 64K/u_pad * 1024
+B_FOR_U = {128: 512, 512: 128}
 MOVES_BYTES_CAP = 1 << 30  # cap per-dispatch move-tensor footprint
 TB_FACTOR = 6  # one traceback bound for every scheme -> one program
 
@@ -97,7 +99,7 @@ class WrapDPBatcher:
         pending = []
         for (r_pad, u_pad, mode), idxs in sorted(groups.items()):
             cap = max(1, MOVES_BYTES_CAP // ((r_pad + 1) * u_pad))
-            cap = min(cap, B_BUCKETS[-1])
+            cap = min(cap, B_FOR_U[u_pad])
             idxs.sort(key=lambda i: jobs[i].qe - jobs[i].qs)
             for lo in range(0, len(idxs), cap):
                 chunk = idxs[lo : lo + cap]
@@ -115,7 +117,7 @@ class WrapDPBatcher:
         )
 
         n = len(chunk)
-        b_pad = _bucket(n, B_BUCKETS) if n <= B_BUCKETS[-1] else n
+        b_pad = B_FOR_U[u_pad]
         reps = np.full((b_pad, r_pad), -1, dtype=np.int32)
         units = np.full((b_pad, u_pad), -2, dtype=np.int32)
         scal = np.zeros((b_pad, 8), dtype=np.int32)
