@@ -85,12 +85,12 @@ def main():
         dt = time.time() - t0
         metric = "reads_per_s_singleTR_100x10"
     else:
-        from mtr_tpu.oracle.pipeline import run_file_oracle
+        from mtr_tpu.pipeline import run_file
 
-        cfg = MTRConfig()
+        cfg = MTRConfig(backend="host", reads_per_batch=min(64, N_READS))
+        run_file(fasta, cfg, sink)  # warm caches / native lib build
         t0 = time.time()
-        for _ in run_file_oracle(fasta, cfg):
-            pass
+        run_file(fasta, cfg, sink)
         dt = time.time() - t0
         metric = "reads_per_s_singleTR_100x10_hostfallback"
 

@@ -106,6 +106,15 @@ class WrapDPBatcher:
                 # dispatch is async: later chunks' host-side padding
                 # overlaps earlier chunks' device execution
                 pending.append(self._dispatch_chunk(jobs, chunk, r_pad, u_pad, mode))
+        # start all device->host transfers before blocking on any: each
+        # blocking pull on a proxied TPU costs a full tunnel roundtrip,
+        # async copies overlap with the remaining executions
+        for _chunk, _mode, payload in pending:
+            for arr in payload:
+                try:
+                    arr.copy_to_host_async()
+                except AttributeError:
+                    pass
         for item in pending:
             self._collect_chunk(jobs, *item)
 
