@@ -122,11 +122,67 @@ constexpr int MIN_NUM_FREQ_UNIT = 5;
 constexpr int MAX_TIEBREAKS = 1024;
 constexpr int MAX_NUM_MAXNODES = 100;
 
+// Flat open-addressing k-mer counter with epoch-stamped slots: clearing
+// between queries is O(1) (bump the epoch), lookups are one or two cache
+// lines.  Thread-local; grows to the largest query seen.
 struct CountTable {
-    std::unordered_map<int64_t, int64_t> counts;
-    int64_t freq(int64_t node) const {
-        auto it = counts.find(node);
-        return it == counts.end() ? 0 : it->second;
+    std::vector<int64_t> keys;
+    std::vector<int64_t> vals;
+    std::vector<uint32_t> stamp;
+    uint32_t epoch = 0;
+    uint64_t mask = 0;
+
+    void reset(size_t width) {
+        size_t want = 16;
+        while (want < width * 2) want <<= 1;
+        if (want > keys.size()) {
+            keys.assign(want, 0);
+            vals.assign(want, 0);
+            stamp.assign(want, 0);
+            epoch = 0;
+        }
+        mask = keys.size() - 1;
+        if (++epoch == 0) {  // stamp wrap: hard clear
+            std::fill(stamp.begin(), stamp.end(), 0u);
+            epoch = 1;
+        }
+    }
+
+    inline size_t slot(int64_t node) const {
+        uint64_t h = (uint64_t)node * 0x9E3779B97F4A7C15ull;
+        return (size_t)(h & mask);
+    }
+
+    inline int64_t add(int64_t node) {  // returns new count
+        size_t s = slot(node);
+        for (;;) {
+            if (stamp[s] != epoch) {
+                stamp[s] = epoch;
+                keys[s] = node;
+                vals[s] = 1;
+                return 1;
+            }
+            if (keys[s] == node) return ++vals[s];
+            s = (s + 1) & mask;
+        }
+    }
+
+    inline int64_t freq(int64_t node) const {
+        size_t s = slot(node);
+        for (;;) {
+            if (stamp[s] != epoch) return 0;
+            if (keys[s] == node) return vals[s];
+            s = (s + 1) & mask;
+        }
+    }
+
+    inline void dec(int64_t node) {
+        size_t s = slot(node);
+        for (;;) {
+            if (stamp[s] != epoch) return;
+            if (keys[s] == node) { vals[s]--; return; }
+            s = (s + 1) & mask;
+        }
     }
 };
 
@@ -270,22 +326,22 @@ int mtr_dbg_walk(const int32_t* org, int64_t input_len, int64_t qs, int64_t qe,
     static thread_local std::vector<int64_t> vals;
     query_vals(org, input_len, k, qs, qe, vals);
 
-    CountTable t;
-    t.counts.reserve(vals.size() * 2);
+    static thread_local CountTable t;
+    t.reset(vals.size());
     int64_t max_freq = -1;
     for (int64_t v : vals) {
-        int64_t c = ++t.counts[v];
+        int64_t c = t.add(v);
         if (c > max_freq) max_freq = c;
     }
     // max-node list in first-occurrence order; counts are decremented in
     // the live table (the reference never restores them — consensus.c:
     // 156-164, 199-222 — so the walk sees maxFreq-1 for listed nodes)
-    std::vector<int64_t> max_nodes;
+    static thread_local std::vector<int64_t> max_nodes;
+    max_nodes.clear();
     for (int64_t v : vals) {
-        auto& c = t.counts[v];
-        if (c == max_freq) {
+        if (t.freq(v) == max_freq) {
             max_nodes.push_back(v);
-            c--;
+            t.dec(v);
             if ((int)max_nodes.size() >= MAX_NUM_MAXNODES) break;
         }
     }
