@@ -59,9 +59,7 @@ def main():
     os.environ.setdefault(
         "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/mtr_tpu_jax")
     )
-    # one fill program per r-bucket: program loads are the dominant cost
-    # on proxied TPU terminals (see project memory)
-    os.environ.setdefault("MTR_TPU_MIN_PROGRAMS", "1")
+
     from mtr_tpu.testutil.rand_seq import write_fasta
     from mtr_tpu.config import MTRConfig
 

@@ -59,8 +59,10 @@ R_BUCKETS = (4096, 32768, 262144, 1048576)
 # load cost makes extra shapes expensive; bench mode sets this)
 U_BUCKETS = (512,) if _os.environ.get("MTR_TPU_MIN_PROGRAMS") else (128, 512)
 # batch rides the sublane dim; the kernel keeps ~12 live (B, u_pad)
-# int32 vectors, so B*u_pad is VMEM-bounded: B = 64K/u_pad * 1024
-B_FOR_U = {128: 512, 512: 128}
+# int32 vectors, so B*u_pad is VMEM-bounded.  Bigger B = fewer chunks;
+# the device traceback cost is per-chunk (serial loop length r_pad*f),
+# so chunk count is the throughput lever on high-latency backends.
+B_FOR_U = {128: 1024, 512: 256}
 MOVES_BYTES_CAP = 1 << 30  # cap per-dispatch move-tensor footprint
 TB_FACTOR = 6  # one traceback bound for every scheme -> one program
 
