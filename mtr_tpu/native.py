@@ -61,6 +61,12 @@ def _load():
         ct.POINTER(ct.c_int32), ct.POINTER(ct.c_int32),
         ct.POINTER(ct.c_int32), ct.c_int,
     ]
+    lib.mtr_polish.argtypes = [
+        ct.POINTER(ct.c_int32), i64, i64, i64, ct.c_int,
+        ct.POINTER(ct.c_int32), ct.POINTER(ct.c_int32), ct.c_int,
+        ct.POINTER(ct.c_int32),
+    ]
+    lib.mtr_polish.restype = ct.c_int
     lib.mtr_wrap_dp_batch.argtypes = [
         ct.POINTER(ct.c_void_p), ct.POINTER(i64), ct.POINTER(i64),
         ct.POINTER(ct.c_int32), ct.POINTER(ct.c_int32), ct.POINTER(ct.c_int32),
@@ -216,3 +222,21 @@ def wrap_dp_batch(orgs, qss, qes, units, unit_lens, schemes, modes, n_threads=0)
         _ip64(counts), _ip64(consensus), _ip64(missing), n_threads,
     )
     return counts, consensus, missing
+
+
+def polish(org, input_len, rep_start, rep_end, k, unit, scores):
+    """Native polish_repeat; returns revised unit list or None (no lib)."""
+    lib = _load()
+    if lib is None:
+        return None
+    org = np.ascontiguousarray(org, np.int32)
+    unit_arr = np.ascontiguousarray(unit, np.int32)
+    scores_arr = np.ascontiguousarray(scores, np.int32)
+    out = np.zeros(MAX_PERIOD, np.int32)
+    res = lib.mtr_polish(
+        _ip32(org), input_len, rep_start, rep_end, k,
+        _ip32(unit_arr), _ip32(scores_arr), len(unit_arr), _ip32(out),
+    )
+    if res < 0:
+        return list(unit_arr)  # polish bailed: unit unchanged
+    return out[:res].tolist()

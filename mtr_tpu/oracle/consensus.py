@@ -157,7 +157,7 @@ def score_for_alignment(start, k, best_node, rep_period, int_unit, table) -> int
     return s
 
 
-def polish_repeat(org, input_len, rr: RepeatRecord) -> None:
+def polish_repeat(org, input_len, rr: RepeatRecord, use_native=True) -> None:
     """consensus.c:610-704 — right-to-left unit polishing.
 
     Known edge: when the walk reaches j == 0 on a suspicious position,
@@ -168,6 +168,17 @@ def polish_repeat(org, input_len, rr: RepeatRecord) -> None:
     k = rr.kmer
     if rr.rep_period <= k:
         return
+    if use_native:
+        from mtr_tpu import native
+
+        revised = native.polish(
+            org, input_len, rr.rep_start, rr.rep_end, k,
+            encode_bases(rr.string), rr.string_score[: rr.rep_period],
+        )
+        if revised is not None:
+            rr.rep_period = len(revised)
+            rr.string = decode_bases(revised)
+            return
     table = CountTable(query_kmer_values(org, input_len, k, rr.rep_start, rr.rep_end))
     int_unit = encode_bases(rr.string).tolist()
     rep_period = rr.rep_period

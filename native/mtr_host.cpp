@@ -457,6 +457,91 @@ void mtr_traceback_counts_batch(const uint8_t* const* moves, const int64_t* u_pa
 }
 
 // ---------------------------------------------------------------------------
+// 5b. unit polishing (oracle polish_repeat; reference consensus.c:610-704)
+//     Returns the revised period, or -1 when polishing bails (j_revised
+//     underflow) leaving the unit unchanged.
+// ---------------------------------------------------------------------------
+static int64_t score_for_alignment(int64_t start, int k, int64_t best_node,
+                                   int64_t rep_period, const int32_t* int_unit,
+                                   const CountTable& t, const int64_t* pow4) {
+    int64_t tmp_node = best_node;
+    int64_t s = 0;
+    for (int64_t j = start; 0 <= j && start - k < j; j--) {
+        tmp_node = (int64_t)int_unit[j % rep_period] * pow4[k - 1] + tmp_node / 4;
+        s += t.freq(tmp_node);
+    }
+    return s;
+}
+
+static bool suspicious(const int32_t* scores, int k, int64_t j) {
+    int cnt = 0;
+    for (int i = 0; i < k - 1 && 0 <= j - i; i++)
+        if (scores[j - i] < 2) cnt++;
+    return (k - 1) * 0.8 < (double)cnt;
+}
+
+int mtr_polish(const int32_t* org, int64_t input_len, int64_t rep_start,
+               int64_t rep_end, int k, const int32_t* unit_in,
+               const int32_t* scores_in, int period_in, int32_t* unit_out) {
+    if (period_in <= k) return period_in;  // no polish (returns unchanged)
+    int64_t pow4[16];
+    pow4[0] = 1;
+    for (int i = 1; i <= 15; i++) pow4[i] = pow4[i - 1] * 4;
+
+    static thread_local std::vector<int64_t> vals;
+    query_vals(org, input_len, k, rep_start, rep_end, vals);
+    static thread_local CountTable t;
+    t.reset(vals.size());
+    for (int64_t v : vals) t.add(v);
+
+    int64_t rep_period = period_in;
+    int32_t revised[MAX_PERIOD];
+    int64_t j_revised = MAX_PERIOD - 1;
+
+    int64_t ref_node = 0;
+    for (int i = 0; i < k; i++)
+        ref_node = (int64_t)unit_in[i] * pow4[k - 1 - i] + ref_node;
+    int64_t best_node = ref_node;
+
+    int64_t j = rep_period - 1;
+    while (0 <= j) {
+        ref_node = (int64_t)unit_in[j] * pow4[k - 1] + best_node / 4;
+        int64_t tmp_best = t.freq(ref_node);
+        best_node = ref_node;
+        if (scores_in[j] == 1 && suspicious(scores_in, k, j)) {
+            for (int l = 0; l < 4; l++) {
+                int64_t alt = (ref_node + (int64_t)(l - unit_in[j]) * pow4[k - 1]) % pow4[k];
+                if (tmp_best < t.freq(alt)) { tmp_best = t.freq(alt); best_node = alt; }
+            }
+            if (best_node == ref_node) {
+                revised[j_revised--] = unit_in[j--];
+            } else {
+                int64_t sd = score_for_alignment(j, k, best_node, rep_period, unit_in, t, pow4);
+                int64_t ss = score_for_alignment(j - 1, k, best_node, rep_period, unit_in, t, pow4);
+                int64_t si = -1;
+                // (j-1) % rep_period: python semantics (the oracle reads
+                // int_unit[-1] = last base on the j==0 edge — see
+                // oracle/consensus.py polish_repeat docstring)
+                int64_t jm = ((j - 1) % rep_period + rep_period) % rep_period;
+                if (best_node / pow4[k - 1] == unit_in[jm])
+                    si = score_for_alignment(j - 2, k, best_node, rep_period, unit_in, t, pow4);
+                revised[j_revised--] = (int32_t)(best_node / pow4[k - 1]);
+                int64_t mx = std::max(std::max(sd, ss), si);
+                if (mx == sd) { /* keep j */ }
+                else if (mx == ss) j -= 1;
+                else j -= 2;
+            }
+        } else {
+            revised[j_revised--] = unit_in[j--];
+        }
+        if (j_revised < 0) return -1;  // fails to revise: unit unchanged
+    }
+    int out_period = (int)((MAX_PERIOD - 1) - j_revised);
+    std::memcpy(unit_out, revised + j_revised + 1, out_period * 4);
+    return out_period;
+}
+
+// ---------------------------------------------------------------------------
 // 6. wrap-around DP on host — scalar fill + traceback mirroring
 //    wrap_around_DP.c:222-354 bit-for-bit (same recurrence, row-major
 //    first-occurrence argmax, traceback precedence M > X > D > I).
