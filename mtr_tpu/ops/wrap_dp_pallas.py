@@ -216,13 +216,16 @@ def make_wrap_dp_pallas(b: int, u_pad: int, r_pad: int, interpret: bool = False)
 # ---------------------------------------------------------------------------
 
 
-def _tb_counts_single(steps, moves, rep, unit, unit_len, best):
+def _tb_counts_single(steps, u_pad, row_stride, moves_flat, qoff, rep, unit, unit_len, best):
     bi, bj = best[2], best[3]
     j0 = jnp.where(bj == 0, unit_len, bj)
 
     def step(_, st):
         i, j, c, done = st
-        mv = jnp.where(done, 0, moves[i - 1, j - 1].astype(jnp.int32))
+        # flat 1-D gather on the UNBATCHED move buffer: a batched gather
+        # on a (r, B, u) operand makes XLA relayout it every iteration
+        idx = (i - 1) * row_stride + qoff + (j - 1)
+        mv = jnp.where(done, 0, moves_flat[idx].astype(jnp.int32))
         stop = mv == 0
         is_diag = mv == 1
         is_del = mv == 2
@@ -246,7 +249,7 @@ def _tb_counts_single(steps, moves, rep, unit, unit_len, best):
     return jnp.array([c[0], c[1], c[2], c[3], scanned, i, done], jnp.int32)
 
 
-def _tb_consensus_single(steps, moves, rep, unit_len, best):
+def _tb_consensus_single(steps, u_pad, row_stride, moves_flat, qoff, rep, unit_len, best):
     bi, bj = best[2], best[3]
     j0 = jnp.where(bj == 0, unit_len, bj)
     cons0 = jnp.zeros((MAX_PERIOD, 5), jnp.int32)
@@ -254,7 +257,8 @@ def _tb_consensus_single(steps, moves, rep, unit_len, best):
 
     def step(_, st):
         i, j, cons, miss, done = st
-        mv = jnp.where(done, 0, moves[i - 1, j - 1].astype(jnp.int32))
+        idx = (i - 1) * row_stride + qoff + (j - 1)
+        mv = jnp.where(done, 0, moves_flat[idx].astype(jnp.int32))
         stop = mv == 0
         is_diag = mv == 1
         is_del = mv == 2
@@ -276,29 +280,45 @@ def _tb_consensus_single(steps, moves, rep, unit_len, best):
     return cons, miss
 
 
-@functools.partial(jax.jit, static_argnums=0)
-def traceback_counts_batch_n(steps, moves, reps, units, unit_lens, best):
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def traceback_counts_batch_n(steps, u_pad, moves, reps, units, unit_lens, best):
     """moves has layout (r_pad, B, u_pad); other args lead with B.
     Row 6 of the result is a done flag (0 means the bound was too small —
     never expected; asserted by the caller)."""
-    f = functools.partial(_tb_counts_single, steps)
-    return jax.vmap(f, in_axes=(1, 0, 0, 0, 0))(moves, reps, units, unit_lens, best)
+    r_pad, b, _ = moves.shape
+    row_stride = b * u_pad
+    moves_flat = moves.reshape(-1)
+    qoffs = jnp.arange(b, dtype=jnp.int32) * u_pad
+    f = functools.partial(_tb_counts_single, steps, u_pad, row_stride)
+    return jax.vmap(f, in_axes=(None, 0, 0, 0, 0, 0))(
+        moves_flat, qoffs, reps, units, unit_lens, best
+    )
 
 
-@functools.partial(jax.jit, static_argnums=0)
-def traceback_consensus_batch_n(steps, moves, reps, unit_lens, best):
-    f = functools.partial(_tb_consensus_single, steps)
-    return jax.vmap(f, in_axes=(1, 0, 0, 0))(moves, reps, unit_lens, best)
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def traceback_consensus_batch_n(steps, u_pad, moves, reps, unit_lens, best):
+    r_pad, b, _ = moves.shape
+    row_stride = b * u_pad
+    moves_flat = moves.reshape(-1)
+    qoffs = jnp.arange(b, dtype=jnp.int32) * u_pad
+    f = functools.partial(_tb_consensus_single, steps, u_pad, row_stride)
+    return jax.vmap(f, in_axes=(None, 0, 0, 0, 0))(
+        moves_flat, qoffs, reps, unit_lens, best
+    )
 
 
 def traceback_counts_batch(moves, reps, units, unit_lens, best, factor=6):
     steps = moves.shape[0] * factor + 2 * MAX_PERIOD
-    return traceback_counts_batch_n(steps, moves, reps, units, unit_lens, best)
+    return traceback_counts_batch_n(
+        steps, moves.shape[2], moves, reps, units, unit_lens, best
+    )
 
 
 def traceback_consensus_batch(moves, reps, unit_lens, best, factor=6):
     steps = moves.shape[0] * factor + 2 * MAX_PERIOD
-    return traceback_consensus_batch_n(steps, moves, reps, unit_lens, best)
+    return traceback_consensus_batch_n(
+        steps, moves.shape[2], moves, reps, unit_lens, best
+    )
 
 
 @functools.lru_cache(maxsize=64)

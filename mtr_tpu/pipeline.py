@@ -150,13 +150,16 @@ class WrapDPBatcher:
         TIMERS.count("dp_jobs", len(chunk))
         TIMERS.count("dp_chunks")
         unit_lens = scal[:, 1].copy()
-        # provable path bound: steps <= rep_len * (1 + ceil(MG/IP)) <=
-        # rep_len * TB_FACTOR for every scheme in use; a single bound
-        # keeps the traceback to one compiled program per mode
+        # provable path bound: steps <= rep_len * (1 + ceil(MG/IP));
+        # quantized to {2, 6} so at most two traceback programs per mode
+        factor = 1 + max(
+            -(-jobs[i].scheme[0] // jobs[i].scheme[2]) for i in chunk
+        )
+        factor = 2 if factor <= 2 else TB_FACTOR
         if mode == "counts":
-            res = traceback_counts_batch(moves, reps, units, unit_lens, best, TB_FACTOR)
+            res = traceback_counts_batch(moves, reps, units, unit_lens, best, factor)
             return (chunk, mode, (res, best))
-        cons_miss = traceback_consensus_batch(moves, reps, unit_lens, best, TB_FACTOR)
+        cons_miss = traceback_consensus_batch(moves, reps, unit_lens, best, factor)
         return (chunk, mode, cons_miss)
 
     def _collect_chunk(self, jobs, chunk, mode, payload) -> None:
