@@ -75,7 +75,7 @@ def main():
     if use_device:
         from mtr_tpu.pipeline import run_file
 
-        cfg = MTRConfig(reads_per_batch=min(64, N_READS))
+        cfg = MTRConfig(reads_per_batch=min(128, N_READS))
         warm = "/tmp/mtr_bench_warm.fasta"
         if not os.path.exists(warm):
             write_fasta(warm, "/tmp/mtr_bench_warm.units", 100, 10, 1.6, 9.0, 3.8,

@@ -283,28 +283,32 @@ def _tb_consensus_single(steps, u_pad, row_stride, moves_flat, qoff, rep, unit_l
 @functools.partial(jax.jit, static_argnums=(0, 1))
 def traceback_counts_batch_n(steps, u_pad, moves, reps, units, unit_lens, best):
     """moves has layout (r_pad, B, u_pad); other args lead with B.
-    Row 6 of the result is a done flag (0 means the bound was too small —
-    never expected; asserted by the caller)."""
+    Returns ONE fused (B, 15) array [7 traceback cols | 8 best cols] so a
+    chunk costs a single device->host pull.  Column 6 is a done flag
+    (0 = the step bound was too small — never expected; asserted)."""
     r_pad, b, _ = moves.shape
     row_stride = b * u_pad
     moves_flat = moves.reshape(-1)
     qoffs = jnp.arange(b, dtype=jnp.int32) * u_pad
     f = functools.partial(_tb_counts_single, steps, u_pad, row_stride)
-    return jax.vmap(f, in_axes=(None, 0, 0, 0, 0, 0))(
+    res = jax.vmap(f, in_axes=(None, 0, 0, 0, 0, 0))(
         moves_flat, qoffs, reps, units, unit_lens, best
     )
+    return jnp.concatenate([res, best], axis=1)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
 def traceback_consensus_batch_n(steps, u_pad, moves, reps, unit_lens, best):
+    """Returns ONE fused (B, 500, 9) array [consensus(5) | missing(4)]."""
     r_pad, b, _ = moves.shape
     row_stride = b * u_pad
     moves_flat = moves.reshape(-1)
     qoffs = jnp.arange(b, dtype=jnp.int32) * u_pad
     f = functools.partial(_tb_consensus_single, steps, u_pad, row_stride)
-    return jax.vmap(f, in_axes=(None, 0, 0, 0, 0))(
+    cons, miss = jax.vmap(f, in_axes=(None, 0, 0, 0, 0))(
         moves_flat, qoffs, reps, unit_lens, best
     )
+    return jnp.concatenate([cons, miss], axis=2)
 
 
 def traceback_counts_batch(moves, reps, units, unit_lens, best, factor=6):

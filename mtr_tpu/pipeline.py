@@ -157,31 +157,26 @@ class WrapDPBatcher:
         )
         factor = 2 if factor <= 2 else TB_FACTOR
         if mode == "counts":
-            res = traceback_counts_batch(moves, reps, units, unit_lens, best, factor)
-            return (chunk, mode, (res, best))
-        cons_miss = traceback_consensus_batch(moves, reps, unit_lens, best, factor)
-        return (chunk, mode, cons_miss)
+            fused = traceback_counts_batch(moves, reps, units, unit_lens, best, factor)
+            return (chunk, mode, (fused,))
+        fused = traceback_consensus_batch(moves, reps, unit_lens, best, factor)
+        return (chunk, mode, (fused,))
 
     def _collect_chunk(self, jobs, chunk, mode, payload) -> None:
+        with TIMERS.section("dp_traceback"):
+            fused = np.asarray(payload[0])
         if mode == "counts":
-            res_d, best_d = payload
-            with TIMERS.section("dp_traceback"):
-                res = np.asarray(res_d)
-                best_h = np.asarray(best_d)
-            assert res[: len(chunk), 6].all(), "traceback step bound exceeded"
+            assert fused[: len(chunk), 6].all(), "traceback step bound exceeded"
             for row, idx in enumerate(chunk):
-                m, x, ins, dele, scanned, i_final = (int(v) for v in res[row, :6])
+                m, x, ins, dele, scanned, i_final = (int(v) for v in fused[row, :6])
                 jobs[idx].result = (
                     (m, x, ins, dele, scanned),
                     i_final,
-                    int(best_h[row, 2]),
+                    int(fused[row, 7 + 2]),
                 )
         else:
-            with TIMERS.section("dp_traceback"):
-                cons = np.asarray(payload[0])
-                miss = np.asarray(payload[1])
             for row, idx in enumerate(chunk):
-                jobs[idx].result = (cons[row], miss[row])
+                jobs[idx].result = (fused[row, :, :5], fused[row, :, 5:])
 
 
 class HostDPBatcher:

@@ -47,9 +47,10 @@ def test_pallas_fill_and_counts(scheme):
     scal, reps, units, cases = build_batch(rng, n, u_pad, r_pad, scheme)
     fn = get_wrap_dp_pallas(scal.shape[0], u_pad, r_pad)
     moves, best = fn(scal, reps, units)
-    res = np.asarray(
+    fused = np.asarray(
         traceback_counts_batch(moves, reps, units, scal[:, 1].copy(), best)
     )
+    res = fused[:, :7]
     best = np.asarray(best)
     for b, (rep, unit) in enumerate(cases):
         (w0, i0, j0), counts0, ifin0, _ = oracle_all(rep, unit, *scheme)
@@ -64,8 +65,10 @@ def test_pallas_consensus_matches_oracle():
     scal, reps, units, cases = build_batch(rng, 8, u_pad, r_pad, (5, 1, 1))
     fn = get_wrap_dp_pallas(scal.shape[0], u_pad, r_pad)
     moves, best = fn(scal, reps, units)
-    cons, miss = traceback_consensus_batch(moves, reps, scal[:, 1].copy(), best)
-    cons, miss = np.asarray(cons), np.asarray(miss)
+    fused = np.asarray(
+        traceback_consensus_batch(moves, reps, scal[:, 1].copy(), best)
+    )
+    cons, miss = fused[:, :, :5], fused[:, :, 5:]
     for b, (rep, unit) in enumerate(cases):
         _, _, _, path = oracle_all(rep, unit, 5, 1, 1)
         c0 = np.zeros((500, 5), np.int64)
