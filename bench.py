@@ -8,10 +8,11 @@ binary (gcc, no -O, 1 CPU core) measures ~17 reads/s on this set
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-A preflight subprocess probes the TPU with a deadline; when the device
-is unreachable (the axon terminal can wedge — see project memory) the
-bench falls back to the host/oracle path so a number is always
-reported.
+Engine selection is empirical: after warmup, both the Pallas TPU path
+and the native host path run a small subset and the faster one runs the
+measured set (a proxied TPU with ~0.2 s roundtrips loses to the
+in-process native engine on 3 kb reads; locally attached hardware wins).
+A wedged TPU terminal is handled by a hard preflight deadline.
 """
 
 import json
@@ -22,12 +23,12 @@ import time
 
 BASELINE_READS_PER_S = 17.0
 N_READS = int(os.environ.get("MTR_BENCH_READS", "100"))
-PREFLIGHT_S = int(os.environ.get("MTR_BENCH_PREFLIGHT_S", "420"))
+PREFLIGHT_S = int(os.environ.get("MTR_BENCH_PREFLIGHT_S", "600"))
 
 
 def preflight_device() -> bool:
-    """Probe TPU usability (incl. one pallas first-exec) in a subprocess
-    with a hard deadline."""
+    """TPU usability probe (incl. one pallas first-exec) in a subprocess
+    with a hard deadline — a wedged terminal must not hang the bench."""
     code = (
         "import numpy as np, jax, jax.numpy as jnp\n"
         "from jax.experimental import pallas as pl\n"
@@ -55,51 +56,53 @@ class _Null:
         pass
 
 
+def _run(fasta, backend, n_reads):
+    from mtr_tpu.config import MTRConfig
+    from mtr_tpu.pipeline import run_file
+
+    cfg = MTRConfig(backend=backend, reads_per_batch=min(128, n_reads))
+    t0 = time.time()
+    run_file(fasta, cfg, _Null())
+    return time.time() - t0
+
+
 def main():
     os.environ.setdefault(
         "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/mtr_tpu_jax")
     )
-
     from mtr_tpu.testutil.rand_seq import write_fasta
-    from mtr_tpu.config import MTRConfig
 
     fasta = "/tmp/mtr_bench_100x10.fasta"
     units = "/tmp/mtr_bench_100x10.units"
     if not os.path.exists(fasta) or os.environ.get("MTR_BENCH_REGEN"):
         write_fasta(fasta, units, 100, 10, 1.6, 9.0, 3.8, 1000, 1000, N_READS, seed=12345)
+    trial = "/tmp/mtr_bench_trial.fasta"
+    if not os.path.exists(trial):
+        write_fasta(trial, "/tmp/mtr_bench_trial.units", 100, 10, 1.6, 9.0, 3.8,
+                    1000, 1000, 10, seed=999)
 
     force = os.environ.get("MTR_BENCH_BACKEND")
-    use_device = force == "device" or (force is None and preflight_device())
-
-    sink = _Null()
-    if use_device:
-        from mtr_tpu.pipeline import run_file
-
-        cfg = MTRConfig(reads_per_batch=min(128, N_READS))
-        warm = "/tmp/mtr_bench_warm.fasta"
-        if not os.path.exists(warm):
-            write_fasta(warm, "/tmp/mtr_bench_warm.units", 100, 10, 1.6, 9.0, 3.8,
-                        1000, 1000, 3, seed=999)
-        run_file(warm, cfg, sink)  # compiles the workload's kernel buckets
-        t0 = time.time()
-        run_file(fasta, cfg, sink)
-        dt = time.time() - t0
-        metric = "reads_per_s_singleTR_100x10"
+    if force:
+        backend = force
+        _run(trial, backend, 10)  # warm
     else:
-        from mtr_tpu.pipeline import run_file
+        candidates = ["host"]
+        if preflight_device():
+            candidates.append("device")
+        trials = {}
+        for b in candidates:
+            _run(trial, b, 10)  # warm (compiles/loads programs)
+            trials[b] = _run(trial, b, 10)
+        backend = min(trials, key=trials.get)
 
-        cfg = MTRConfig(backend="host", reads_per_batch=min(64, N_READS))
-        run_file(fasta, cfg, sink)  # warm caches / native lib build
-        t0 = time.time()
-        run_file(fasta, cfg, sink)
-        dt = time.time() - t0
-        metric = "reads_per_s_singleTR_100x10_hostfallback"
-
+    t0 = time.time()
+    _run(fasta, backend, N_READS)
+    dt = time.time() - t0
     reads_per_s = N_READS / dt
     print(
         json.dumps(
             {
-                "metric": metric,
+                "metric": f"reads_per_s_singleTR_100x10_{backend}",
                 "value": round(reads_per_s, 3),
                 "unit": "reads/s",
                 "vs_baseline": round(reads_per_s / BASELINE_READS_PER_S, 3),
