@@ -8,6 +8,7 @@ path is active.  The library is built with `make -C native`.
 from __future__ import annotations
 
 import ctypes as ct
+import mmap
 import os
 import subprocess
 
@@ -15,6 +16,43 @@ import numpy as np
 
 _LIB = None
 _TRIED = False
+
+
+class _BufPool:
+    """Reusable, huge-page-backed scratch buffers keyed by use-site.
+
+    Some deployment hosts serve guest memory lazily (post-copy/uffd
+    style), making the FIRST touch of every fresh 4 KB page cost tens of
+    microseconds.  Allocating multi-hundred-MB result arrays per batch
+    call was 10-40x slower than the actual compute.  The pool (a) reuses
+    buffers across calls so pages stay resident and (b) requests
+    MADV_HUGEPAGE so compulsory faults cover 2 MB at a time (~10x
+    cheaper first touch)."""
+
+    def __init__(self):
+        self._bufs: dict[str, mmap.mmap] = {}
+
+    def get(self, name: str, shape, dtype, zero: bool = False) -> np.ndarray:
+        count = 1
+        for s in shape:
+            count *= int(s)
+        need = count * np.dtype(dtype).itemsize
+        mm = self._bufs.get(name)
+        if mm is None or len(mm) < need:
+            cap = 1 << max(20, (max(need, 1) - 1).bit_length())
+            mm = mmap.mmap(-1, cap)
+            try:
+                mm.madvise(mmap.MADV_HUGEPAGE)
+            except (AttributeError, OSError):
+                pass
+            self._bufs[name] = mm
+        arr = np.frombuffer(mm, dtype=dtype, count=count).reshape(shape)
+        if zero:
+            arr.fill(0)
+        return arr
+
+
+POOL = _BufPool()
 
 _HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _SO = os.path.join(_HERE, "native", "libmtr_host.so")
@@ -61,6 +99,17 @@ def _load():
         ct.POINTER(ct.c_int32), ct.POINTER(ct.c_int32),
         ct.POINTER(ct.c_int32), ct.c_int,
     ]
+    lib.mtr_dbg_walk_batch2.argtypes = [
+        ct.POINTER(ct.c_void_p), ct.POINTER(i64),
+        ct.POINTER(ct.c_int32), ct.POINTER(ct.c_int32),
+        ct.POINTER(ct.c_int32), ct.POINTER(ct.c_int32), i64,
+        ct.POINTER(ct.c_int32), ct.POINTER(ct.c_int32),
+        ct.POINTER(ct.c_int32), ct.POINTER(ct.c_int32),
+        ct.POINTER(ct.c_int32),
+        ct.POINTER(ct.c_int32), ct.POINTER(ct.c_int32),
+        i64, ct.c_int,
+    ]
+    lib.mtr_dbg_walk_batch2.restype = i64
     lib.mtr_polish.argtypes = [
         ct.POINTER(ct.c_int32), i64, i64, i64, ct.c_int,
         ct.POINTER(ct.c_int32), ct.POINTER(ct.c_int32), ct.c_int,
@@ -153,6 +202,50 @@ def dbg_walk_batch(orgs: list[np.ndarray], input_lens, qss, qes, ks, n_threads=0
     )
 
 
+def dbg_walk_batch2(org_arrays: list[np.ndarray], len_table, read_idx,
+                    qss, qes, ks, n_threads=0):
+    """Compact-output batched walks: reads addressed as a per-read table
+    + per-query index; found units/scores land in pooled row buffers.
+
+    Returns None without the lib, else a dict with per-query
+    fwd_row/bwd_row (row into units/scores, -1 = not found),
+    fwd_period/bwd_period, found_last, and the shared units/scores
+    row arrays."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(read_idx)
+    n_reads = len(org_arrays)
+    org_table = (ct.c_void_p * n_reads)(*[o.ctypes.data for o in org_arrays])
+    len_table = np.ascontiguousarray(len_table, np.int64)
+    read_idx = np.ascontiguousarray(read_idx, np.int32)
+    qss = np.ascontiguousarray(qss, np.int32)
+    qes = np.ascontiguousarray(qes, np.int32)
+    ks = np.ascontiguousarray(ks, np.int32)
+    frow = POOL.get("walk_frow", (n,), np.int32)
+    brow = POOL.get("walk_brow", (n,), np.int32)
+    fper = POOL.get("walk_fper", (n,), np.int32)
+    bper = POOL.get("walk_bper", (n,), np.int32)
+    flast = POOL.get("walk_flast", (n,), np.int32)
+    cap = max(4096, n // 8)
+    while True:
+        units = POOL.get("walk_units", (cap, MAX_PERIOD), np.int32)
+        scores = POOL.get("walk_scores", (cap, MAX_PERIOD), np.int32)
+        used = lib.mtr_dbg_walk_batch2(
+            org_table, _ip64(len_table), _ip32(read_idx),
+            _ip32(qss), _ip32(qes), _ip32(ks), n,
+            _ip32(frow), _ip32(brow), _ip32(fper), _ip32(bper), _ip32(flast),
+            _ip32(units), _ip32(scores), cap, n_threads,
+        )
+        if used <= cap:
+            break
+        cap = int(used)
+    return dict(
+        fwd_row=frow, bwd_row=brow, fwd_period=fper, bwd_period=bper,
+        found_last=flast, units=units, scores=scores,
+    )
+
+
 def traceback_counts(moves: np.ndarray, max_i, max_j, rep, unit, unit_len):
     lib = _load()
     if lib is None:
@@ -212,10 +305,20 @@ def wrap_dp_batch(orgs, qss, qes, units, unit_lens, schemes, modes, n_threads=0)
     unit_lens = np.ascontiguousarray(unit_lens, np.int32)
     schemes = np.ascontiguousarray(schemes, np.int32)
     modes = np.ascontiguousarray(modes, np.int32)
-    counts = np.zeros((n, 7), np.int64)
+    # pooled outputs: counts rows are fully written by the C side; the
+    # consensus/missing accumulators are only read (and so only zeroed)
+    # for mode-1 rows
+    counts = POOL.get("dp_counts", (n, 7), np.int64)
     n_cons = int(modes.sum())
-    consensus = np.zeros((n, 500, 5), np.int64) if n_cons else np.zeros((1, 500, 5), np.int64)
-    missing = np.zeros((n, 500, 4), np.int64) if n_cons else np.zeros((1, 500, 4), np.int64)
+    if n_cons:
+        consensus = POOL.get("dp_consensus", (n, 500, 5), np.int64)
+        missing = POOL.get("dp_missing", (n, 500, 4), np.int64)
+        sel = modes != 0
+        consensus[sel] = 0
+        missing[sel] = 0
+    else:
+        consensus = np.zeros((1, 500, 5), np.int64)
+        missing = np.zeros((1, 500, 4), np.int64)
     lib.mtr_wrap_dp_batch(
         org_ptrs, _ip64(qss), _ip64(qes), _ip32(units), _ip32(unit_lens),
         _ip32(schemes), _ip32(modes), n,

@@ -190,7 +190,9 @@ class HostDPBatcher:
         if not jobs:
             return
         n = len(jobs)
-        units = np.zeros((n, 500), np.int32)
+        # pooled: the C side reads only units[q, :ulens[q]], so stale data
+        # beyond each unit is never seen
+        units = native.POOL.get("dpb_units", (n, 500), np.int32)
         ulens = np.zeros(n, np.int32)
         schemes = np.zeros((n, 3), np.int32)
         modes = np.zeros(n, np.int32)
@@ -352,50 +354,79 @@ def _polish_phase(batcher, states, polish_set, cfg) -> None:
                 _assign(rr, tmp)
 
 
-def process_batch(states: list[ReadState], batcher: WrapDPBatcher, cfg: MTRConfig):
-    # phase 2: collect all (range, k) queries and run the walks
-    queries: list[RangeQuery] = []
+def _collect_queries(states, cfg):
+    """Phase 2a: flat (read_idx, qs, qe, w, k) arrays for every candidate
+    range x k.  Kept as parallel numpy arrays — RangeQuery objects are
+    only materialized for the few % of queries whose walk finds a unit."""
+    ridx_l, qs_l, qe_l, w_l, k_l = [], [], [], [], []
     for ridx, st in enumerate(states):
         L = st.read.length
-        for qs in range(L):
+        pos = np.nonzero((st.di_end > -1) & (st.di_end < L))[0]
+        for qs in pos:
             qe = int(st.di_end[qs])
-            if -1 < qe < L:
-                w = int(st.di_w[qs])
-                for k in cfg.k_sweep(w):
-                    queries.append(RangeQuery(ridx, qs, int(qe), w, k))
+            w = int(st.di_w[qs])
+            for k in cfg.k_sweep(w):
+                ridx_l.append(ridx)
+                qs_l.append(qs)
+                qe_l.append(qe)
+                w_l.append(w)
+                k_l.append(k)
+    return (
+        np.asarray(ridx_l, np.int32),
+        np.asarray(qs_l, np.int32),
+        np.asarray(qe_l, np.int32),
+        np.asarray(w_l, np.int32),
+        np.asarray(k_l, np.int32),
+    )
+
+
+def process_batch(states: list[ReadState], batcher: WrapDPBatcher, cfg: MTRConfig):
     from mtr_tpu import native
     from mtr_tpu.oracle.dbg import freq_2mer_array
     from mtr_tpu.utils.encoding import decode_bases
 
+    # phase 2: all (range, k) queries; native walks with compact outputs
+    ridx_a, qs_a, qe_a, w_a, k_a = _collect_queries(states, cfg)
+    n_q = len(ridx_a)
+    queries: list[RangeQuery] = []  # materialized for walk hits only
+
     _t_walk = time.time()
-    if cfg.use_native and native.available() and queries:
-        res = native.dbg_walk_batch(
-            [states[q.read_idx].org for q in queries],
-            [states[q.read_idx].read.length for q in queries],
-            [q.qs for q in queries],
-            [q.qe for q in queries],
-            [q.k for q in queries],
+    if cfg.use_native and native.available() and n_q:
+        res = native.dbg_walk_batch2(
+            [st.org for st in states],
+            [st.read.length for st in states],
+            ridx_a, qs_a, qe_a, k_a,
         )
-        for i, q in enumerate(queries):
-            st = states[q.read_idx]
+        frow, brow = res["fwd_row"], res["bwd_row"]
+        units_rows, scores_rows = res["units"], res["scores"]
+        hits = np.nonzero((frow[:n_q] >= 0) | (brow[:n_q] >= 0))[0]
+        for i in hits:
+            ridx = int(ridx_a[i])
+            st = states[ridx]
+            q = RangeQuery(ridx, int(qs_a[i]), int(qe_a[i]), int(w_a[i]), int(k_a[i]))
             q.found = int(res["found_last"][i])
-            q.candidates = []
-            for pre in ("fwd", "bwd"):
-                if res[f"{pre}_found"][i]:
-                    period = int(res[f"{pre}_period"][i])
-                    unit = res[f"{pre}_unit"][i][:period].tolist()
-                    cand = RepeatRecord()
-                    cand.read_id = st.read.read_id
-                    cand.input_len = st.read.length
-                    cand.kmer = q.k
-                    cand.rep_period = period
-                    cand.string = decode_bases(unit)
-                    cand.string_score = res[f"{pre}_scores"][i][:period].tolist()
-                    cand.freq_2mer = freq_2mer_array(unit)
-                    q.candidates.append(cand)
+            for row, period in (
+                (int(frow[i]), int(res["fwd_period"][i])),
+                (int(brow[i]), int(res["bwd_period"][i])),
+            ):
+                if row < 0:
+                    continue
+                unit = units_rows[row][:period].tolist()
+                cand = RepeatRecord()
+                cand.read_id = st.read.read_id
+                cand.input_len = st.read.length
+                cand.kmer = q.k
+                cand.rep_period = period
+                cand.string = decode_bases(unit)
+                cand.string_score = scores_rows[row][:period].tolist()
+                cand.freq_2mer = freq_2mer_array(unit)
+                q.candidates.append(cand)
+            queries.append(q)
     else:
-        for q in queries:
-            st = states[q.read_idx]
+        for i in range(n_q):
+            ridx = int(ridx_a[i])
+            st = states[ridx]
+            q = RangeQuery(ridx, int(qs_a[i]), int(qe_a[i]), int(w_a[i]), int(k_a[i]))
             template = RepeatRecord()
             template.read_id = st.read.read_id
             template.input_len = st.read.length
@@ -403,6 +434,8 @@ def process_batch(states: list[ReadState], batcher: WrapDPBatcher, cfg: MTRConfi
             q.candidates, q.found = walk_candidates(
                 st.org, st.read.length, q.qs, q.qe, template
             )
+            if q.candidates:
+                queries.append(q)
 
     TIMERS.add("walks", time.time() - _t_walk)
 
@@ -410,9 +443,9 @@ def process_batch(states: list[ReadState], batcher: WrapDPBatcher, cfg: MTRConfi
     _wrap_dp_schemes(batcher, [(q, states[q.read_idx].org) for q in queries])
 
     # phase 4b: direction selection + gates -> per-query result; build polish set
-    # (None result = cleared record; avoids building 1000s of empty records)
+    # (queries without candidates were never materialized = cleared records)
     polish_set = []
-    TIMERS.count("queries", len(queries))
+    TIMERS.count("queries", n_q)
     for q in queries:
         if not q.candidates or q.found == 0:
             q.result = None
@@ -467,7 +500,7 @@ def process_batch(states: list[ReadState], batcher: WrapDPBatcher, cfg: MTRConfi
         for qs in range(L):
             qe = int(di_end[qs])
             if -1 < qe < L:
-                rr = range_result[(ridx, qs, qe)]
+                rr = range_result.get((ridx, qs, qe))
                 if rr is not None and rr.repeat_len > 0 and rr.rep_start + MIN_PERIOD * MIN_NUM_FREQ_UNIT < rr.rep_end:
                     accepted.append(rr)
                     for i in range(rr.rep_start, rr.rep_end):

@@ -15,6 +15,90 @@
 #include <unordered_map>
 #include <thread>
 #include <algorithm>
+#include <atomic>
+#include <condition_variable>
+#include <functional>
+#include <mutex>
+
+// ---------------------------------------------------------------------------
+// Persistent worker pool.  Spawning std::thread per batch call would
+// destroy each worker's thread_local scratch (count tables, DP buffers)
+// between calls; on hosts with lazy (post-copy / uffd) memory every
+// re-allocated page costs a ~30 us first-touch fault, which dwarfed the
+// actual compute.  Workers here live for the process, so scratch stays
+// resident and warm.  run(n, fn) executes fn(tid) for tid in [0, n);
+// tid 0 runs on the caller's thread.
+// ---------------------------------------------------------------------------
+namespace {
+
+class WorkPool {
+public:
+    static WorkPool& inst() {
+        // intentionally leaked: detached workers may still reference the
+        // mutex/cv during interpreter shutdown
+        static WorkPool* p = new WorkPool();
+        return *p;
+    }
+
+    void run(int n_threads, const std::function<void(int)>& fn) {
+        if (n_threads <= 1) { fn(0); return; }
+        ensure(n_threads - 1);
+        {
+            std::unique_lock<std::mutex> lk(mu_);
+            task_ = &fn;
+            want_ = n_threads - 1;
+            done_ = 0;
+            gen_++;
+        }
+        cv_.notify_all();
+        fn(0);
+        std::unique_lock<std::mutex> lk(mu_);
+        cv_done_.wait(lk, [&] { return done_ == want_; });
+        task_ = nullptr;
+    }
+
+private:
+    void ensure(int n_workers) {
+        // workers are detached daemons: the pool is a static singleton and
+        // joinable threads in its destructor would std::terminate at exit
+        while (n_workers_ < n_workers) {
+            int tid = n_workers_ + 1;
+            std::thread([this, tid] { worker(tid); }).detach();
+            n_workers_++;
+        }
+    }
+
+    void worker(int tid) {
+        uint64_t seen = 0;
+        for (;;) {
+            const std::function<void(int)>* task;
+            {
+                std::unique_lock<std::mutex> lk(mu_);
+                cv_.wait(lk, [&] { return gen_ != seen; });
+                seen = gen_;
+                if (tid > want_) {  // not part of this dispatch
+                    continue;
+                }
+                task = task_;
+            }
+            (*task)(tid);
+            {
+                std::unique_lock<std::mutex> lk(mu_);
+                done_++;
+            }
+            cv_done_.notify_one();
+        }
+    }
+
+    int n_workers_ = 0;
+    std::mutex mu_;
+    std::condition_variable cv_, cv_done_;
+    const std::function<void(int)>* task_ = nullptr;
+    uint64_t gen_ = 0;
+    int want_ = 0, done_ = 0;
+};
+
+}  // namespace
 
 extern "C" {
 
@@ -393,9 +477,62 @@ void mtr_dbg_walk_batch(const int32_t* const* orgs, const int64_t* input_lens,
         }
     };
     if (n_threads <= 1 || n < 2) { work(0); return; }
-    std::vector<std::thread> th;
-    for (int tIdx = 0; tIdx < n_threads; tIdx++) th.emplace_back(work, tIdx);
-    for (auto& x : th) x.join();
+    WorkPool::inst().run(n_threads, work);
+}
+
+// Compact-output batched walks.  Only a few percent of queries yield a
+// looping unit, so dense (n, 500) unit/score outputs would consume ~8 KB
+// of fresh memory per query (expensive on lazy-memory hosts).  Here a
+// found walk claims one row of (units_out, scores_out) via an atomic
+// counter; per-query fwd_row/bwd_row hold the claimed row or -1.  Reads
+// are addressed as a table + per-query index so callers can reuse one
+// pointer array per batch of reads.  Returns the number of rows needed;
+// if it exceeds cap the caller must retry with a larger buffer (rows
+// beyond cap are counted but not written).
+int64_t mtr_dbg_walk_batch2(const int32_t* const* org_table, const int64_t* len_table,
+                            const int32_t* read_idx, const int32_t* qss,
+                            const int32_t* qes, const int32_t* ks, int64_t n,
+                            int32_t* fwd_row, int32_t* bwd_row,
+                            int32_t* fwd_period, int32_t* bwd_period,
+                            int32_t* found_last,
+                            int32_t* units_out, int32_t* scores_out,
+                            int64_t cap, int n_threads) {
+    if (n_threads < 1) n_threads = (int)std::thread::hardware_concurrency();
+    std::atomic<int64_t> next_row(0);
+    auto work = [&](int tid) {
+        WalkOut scratch[2];
+        int ff, fp, bf, bp;
+        for (int64_t i = tid; i < n; i += n_threads) {
+            found_last[i] = mtr_dbg_walk(
+                org_table[read_idx[i]], len_table[read_idx[i]],
+                qss[i], qes[i], ks[i],
+                &ff, &fp, scratch[0].unit, scratch[0].scores,
+                &bf, &bp, scratch[1].unit, scratch[1].scores);
+            fwd_period[i] = fp;
+            bwd_period[i] = bp;
+            fwd_row[i] = -1;
+            bwd_row[i] = -1;
+            if (ff) {
+                int64_t row = next_row.fetch_add(1, std::memory_order_relaxed);
+                if (row < cap) {
+                    std::memcpy(units_out + row * MAX_PERIOD, scratch[0].unit, fp * 4);
+                    std::memcpy(scores_out + row * MAX_PERIOD, scratch[0].scores, fp * 4);
+                    fwd_row[i] = (int32_t)row;
+                }
+            }
+            if (bf) {
+                int64_t row = next_row.fetch_add(1, std::memory_order_relaxed);
+                if (row < cap) {
+                    std::memcpy(units_out + row * MAX_PERIOD, scratch[1].unit, bp * 4);
+                    std::memcpy(scores_out + row * MAX_PERIOD, scratch[1].scores, bp * 4);
+                    bwd_row[i] = (int32_t)row;
+                }
+            }
+        }
+    };
+    if (n_threads <= 1 || n < 2) work(0);
+    else WorkPool::inst().run(n_threads, work);
+    return next_row.load();
 }
 
 // ---------------------------------------------------------------------------
@@ -451,9 +588,7 @@ void mtr_traceback_counts_batch(const uint8_t* const* moves, const int64_t* u_pa
                                  out5s + i * 5, &i_finals[i]);
     };
     if (n_threads <= 1 || n < 2) { work(0); return; }
-    std::vector<std::thread> th;
-    for (int tIdx = 0; tIdx < n_threads; tIdx++) th.emplace_back(work, tIdx);
-    for (auto& x : th) x.join();
+    WorkPool::inst().run(n_threads, work);
 }
 
 // ---------------------------------------------------------------------------
@@ -649,9 +784,7 @@ void mtr_wrap_dp_batch(const int32_t* const* orgs, const int64_t* qss,
         }
     };
     if (n_threads <= 1 || n < 2) { work(0); return; }
-    std::vector<std::thread> th;
-    for (int tIdx = 0; tIdx < n_threads; tIdx++) th.emplace_back(work, tIdx);
-    for (auto& t : th) t.join();
+    WorkPool::inst().run(n_threads, work);
 }
 
 }  // extern "C"
