@@ -74,6 +74,28 @@ def _bucket(v: int, buckets) -> int:
     return buckets[-1]
 
 
+def dedup_jobs(jobs: list["DPJob"]) -> tuple[list["DPJob"], list[int]]:
+    """Many k values discover the SAME unit for the same range, and the
+    DP result depends only on (read segment, unit, scheme, mode) — so
+    identical jobs are computed once and fanned out.  Returns the unique
+    job list and, per original job, its index into it."""
+    uniq: dict = {}
+    uniq_jobs: list[DPJob] = []
+    remap: list[int] = []
+    for job in jobs:
+        key = (
+            id(job.org), job.qs, job.qe,
+            job.unit.tobytes(), job.scheme, job.mode,
+        )
+        idx = uniq.get(key)
+        if idx is None:
+            idx = len(uniq_jobs)
+            uniq[key] = idx
+            uniq_jobs.append(job)
+        remap.append(idx)
+    return uniq_jobs, remap
+
+
 @dataclasses.dataclass
 class DPJob:
     org: np.ndarray  # effective per-read arena view (codes + stale tail)
@@ -91,6 +113,13 @@ class WrapDPBatcher:
     small count/consensus arrays ever cross the host link."""
 
     def run(self, jobs: list[DPJob]) -> None:
+        uniq_jobs, remap = dedup_jobs(jobs)
+        self._run(uniq_jobs)
+        if len(uniq_jobs) != len(jobs):
+            for job, ui in zip(jobs, remap):
+                job.result = uniq_jobs[ui].result
+
+    def _run(self, jobs: list[DPJob]) -> None:
         groups: dict[tuple[int, int, str], list[int]] = defaultdict(list)
         for idx, job in enumerate(jobs):
             rep_len = job.qe - job.qs + 1
@@ -185,6 +214,13 @@ class HostDPBatcher:
     cross-check implementation."""
 
     def run(self, jobs: list[DPJob]) -> None:
+        uniq_jobs, remap = dedup_jobs(jobs)
+        self._run(uniq_jobs)
+        if len(uniq_jobs) != len(jobs):
+            for job, ui in zip(jobs, remap):
+                job.result = uniq_jobs[ui].result
+
+    def _run(self, jobs: list[DPJob]) -> None:
         from mtr_tpu import native
 
         if not jobs:
@@ -356,28 +392,41 @@ def _polish_phase(batcher, states, polish_set, cfg) -> None:
 
 def _collect_queries(states, cfg):
     """Phase 2a: flat (read_idx, qs, qe, w, k) arrays for every candidate
-    range x k.  Kept as parallel numpy arrays — RangeQuery objects are
-    only materialized for the few % of queries whose walk finds a unit."""
-    ridx_l, qs_l, qe_l, w_l, k_l = [], [], [], [], []
+    range x k, built with vectorized repeats (the k sweep is a function
+    of w only — config.k_sweep / handle_one_read.c:104-118).  RangeQuery
+    objects are only materialized for the few % of queries whose walk
+    finds a unit."""
+    lo_small = cfg.min_kmer - 3
+    lo_big = cfg.min_kmer
+    hi_small = cfg.max_kmer - 5
+    hi_mid = cfg.max_kmer - 3
+    hi_big = cfg.max_kmer
+    chunks = []
     for ridx, st in enumerate(states):
         L = st.read.length
         pos = np.nonzero((st.di_end > -1) & (st.di_end < L))[0]
-        for qs in pos:
-            qe = int(st.di_end[qs])
-            w = int(st.di_w[qs])
-            for k in cfg.k_sweep(w):
-                ridx_l.append(ridx)
-                qs_l.append(qs)
-                qe_l.append(qe)
-                w_l.append(w)
-                k_l.append(k)
-    return (
-        np.asarray(ridx_l, np.int32),
-        np.asarray(qs_l, np.int32),
-        np.asarray(qe_l, np.int32),
-        np.asarray(w_l, np.int32),
-        np.asarray(k_l, np.int32),
-    )
+        if not len(pos):
+            continue
+        qe = st.di_end[pos].astype(np.int64)
+        w = st.di_w[pos].astype(np.int64)
+        k_lo = np.where(w < 1000, lo_small, lo_big)
+        k_hi = np.where(w < 100, hi_small, np.where(w < 1000, hi_mid, hi_big))
+        counts = k_hi - k_lo + 1
+        total = int(counts.sum())
+        # per-segment aranges: offset within each range's k run
+        seg_start = np.repeat(np.cumsum(counts) - counts, counts)
+        ks = np.repeat(k_lo, counts) + (np.arange(total) - seg_start)
+        chunks.append((
+            np.full(total, ridx, np.int32),
+            np.repeat(pos, counts).astype(np.int32),
+            np.repeat(qe, counts).astype(np.int32),
+            np.repeat(w, counts).astype(np.int32),
+            ks.astype(np.int32),
+        ))
+    if not chunks:
+        z = np.zeros(0, np.int32)
+        return z, z, z, z, z
+    return tuple(np.concatenate([c[i] for c in chunks]) for i in range(5))
 
 
 def process_batch(states: list[ReadState], batcher: WrapDPBatcher, cfg: MTRConfig):
