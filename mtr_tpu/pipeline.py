@@ -156,11 +156,19 @@ class WrapDPBatcher:
             traceback_consensus_batch,
         )
 
+        from mtr_tpu import native
+
         n = len(chunk)
         b_pad = B_FOR_U[u_pad]
-        reps = np.full((b_pad, r_pad), -1, dtype=np.int32)
-        units = np.full((b_pad, u_pad), -2, dtype=np.int32)
-        scal = np.zeros((b_pad, 8), dtype=np.int32)
+        # pooled per shape: fresh per-chunk np.full buffers would pay the
+        # lazy-memory first-touch cost (see native._BufPool); JAX copies
+        # numpy args to device at call time, so reuse after dispatch is safe
+        reps = native.POOL.get(f"dev_reps_{b_pad}x{r_pad}", (b_pad, r_pad), np.int32)
+        units = native.POOL.get(f"dev_units_{b_pad}x{u_pad}", (b_pad, u_pad), np.int32)
+        scal = native.POOL.get(f"dev_scal_{b_pad}", (b_pad, 8), np.int32)
+        reps.fill(-1)
+        units.fill(-2)
+        scal.fill(0)
         units[:, :2] = 0
         scal[:, 1] = 2
         scal[:, 2:5] = 1
