@@ -30,17 +30,36 @@ from mtr_tpu.utils.mt19937 import MT19937
 from mtr_tpu.utils.encoding import rolling_kmer_codes
 
 
+_FLANK_CACHE: dict = {}
+
+
+def _flank_draws(l4: int, rsl: int):
+    """The reference reseeds MT19937(0) per (read, k) pass
+    (fill_directional_index.c:140), so the three draw arrays are a pure
+    function of (l4, rsl) — identical across the k in {1,3,5} passes and
+    across same-length reads.  Cached (bounded) to avoid regenerating."""
+    key = (l4, rsl)
+    hit = _FLANK_CACHE.get(key)
+    if hit is None:
+        mt = MT19937(0)
+        hit = (mt.random_bases(l4), mt.random_bases(rsl), mt.random_bases(rsl))
+        if len(_FLANK_CACHE) >= 8:
+            _FLANK_CACHE.clear()
+        _FLANK_CACHE[key] = hit
+    return hit
+
+
 def init_input_w_rand(arena: Arena, k: int, input_len: int, rsl: int) -> None:
     """fill_directional_index.c:137-169 — random flanks + in-place k-mer
     codes over the prefix [0, L + 2*rsl - k + 1)."""
     buf = arena.input_w_rand
     L = input_len
-    mt = MT19937(0)
     l4 = min(L + 4 * rsl, arena.max_input_length)
-    buf[:l4] = mt.random_bases(l4)
-    buf[:rsl] = mt.random_bases(rsl)
+    full, pre, post = _flank_draws(l4, rsl)
+    buf[:l4] = full
+    buf[:rsl] = pre
     buf[rsl : rsl + L] = arena.org_input[:L]
-    buf[rsl + L : rsl + L + rsl] = mt.random_bases(rsl)
+    buf[rsl + L : rsl + L + rsl] = post
     n_codes = L + 2 * rsl - k + 1
     if n_codes > 0:
         buf[:n_codes] = rolling_kmer_codes(buf[: L + 2 * rsl].copy(), k)
@@ -224,6 +243,12 @@ def fill_directional_index_with_end(
             f"read length {L} with flank {rsl} overflows the reference's "
             f"1 Mbp DI arrays; reference behavior is undefined here"
         )
+    if manhattan and di_compute is None:
+        from mtr_tpu import native
+
+        res = native.fill_di_manhattan(arena.input_w_rand, arena.org_input, L, rsl)
+        if res is not None:
+            return res
     di = np.full(di_len, -1.0)
     di_end = np.full(di_len, -1, dtype=np.int64)
     di_w = np.full(di_len, -1, dtype=np.int64)

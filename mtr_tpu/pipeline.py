@@ -67,6 +67,24 @@ MOVES_BYTES_CAP = 1 << 30  # cap per-dispatch move-tensor footprint
 TB_FACTOR = 6  # one traceback bound for every scheme -> one program
 
 
+_ENCODE_CACHE: dict = {}
+
+
+def _encode_unit(s: str) -> np.ndarray:
+    """encode_bases with memoization: the same few unit strings appear in
+    thousands of DP jobs per batch.  Returned arrays are read-only by
+    convention (DP job padding copies out of them)."""
+    a = _ENCODE_CACHE.get(s)
+    if a is None:
+        from mtr_tpu.utils.encoding import encode_bases
+
+        if len(_ENCODE_CACHE) > 65536:
+            _ENCODE_CACHE.clear()
+        a = encode_bases(s)
+        _ENCODE_CACHE[s] = a
+    return a
+
+
 def _bucket(v: int, buckets) -> int:
     for b in buckets:
         if v <= b:
@@ -329,7 +347,7 @@ def _wrap_dp_schemes(batcher, queries_with_candidates) -> None:
     meta: list[tuple[RangeQuery, RepeatRecord]] = []
     for q, org_arr in queries_with_candidates:
         for cand in q.candidates:
-            unit = encode_bases(cand.string)
+            unit = _encode_unit(cand.string)
             for scheme in ((1, 1, 3), (1, 3, 1)):
                 dpjobs.append(DPJob(org_arr, q.qs, q.qe, unit, scheme))
             meta.append((q, cand))
@@ -374,7 +392,7 @@ def _polish_phase(batcher, states, polish_set, cfg) -> None:
             tmp = rr.copy()
             tmp.match_gain, tmp.mismatch_penalty, tmp.indel_penalty = scheme
             consjobs.append(
-                DPJob(org, tmp.rep_start, tmp.rep_end, encode_bases(tmp.string),
+                DPJob(org, tmp.rep_start, tmp.rep_end, _encode_unit(tmp.string),
                       scheme, mode="consensus")
             )
             tmps.append(tmp)
@@ -388,7 +406,7 @@ def _polish_phase(batcher, states, polish_set, cfg) -> None:
             if tmp.rep_period < MAX_PERIOD:
                 org = states[q.read_idx].org
                 sj = DPJob(org, tmp.rep_start, tmp.rep_end,
-                           encode_bases(tmp.string), scheme)
+                           _encode_unit(tmp.string), scheme)
                 scorejobs.append(sj)
                 score_meta.append(((q, rr, base_ratio), tmp, sj))
         batcher.run(scorejobs)
@@ -456,6 +474,7 @@ def process_batch(states: list[ReadState], batcher: WrapDPBatcher, cfg: MTRConfi
         )
         frow, brow = res["fwd_row"], res["bwd_row"]
         units_rows, scores_rows = res["units"], res["scores"]
+        unit_cache: dict = {}  # unit bytes -> (string, freq_2mer)
         hits = np.nonzero((frow[:n_q] >= 0) | (brow[:n_q] >= 0))[0]
         for i in hits:
             ridx = int(ridx_a[i])
@@ -468,15 +487,20 @@ def process_batch(states: list[ReadState], batcher: WrapDPBatcher, cfg: MTRConfi
             ):
                 if row < 0:
                     continue
-                unit = units_rows[row][:period].tolist()
+                ukey = units_rows[row][:period].tobytes()
+                ent = unit_cache.get(ukey)
+                if ent is None:
+                    unit = units_rows[row][:period].tolist()
+                    ent = (decode_bases(unit), freq_2mer_array(unit))
+                    unit_cache[ukey] = ent
                 cand = RepeatRecord()
                 cand.read_id = st.read.read_id
                 cand.input_len = st.read.length
                 cand.kmer = q.k
                 cand.rep_period = period
-                cand.string = decode_bases(unit)
+                cand.string = ent[0]
                 cand.string_score = scores_rows[row][:period].tolist()
-                cand.freq_2mer = freq_2mer_array(unit)
+                cand.freq_2mer = list(ent[1])
                 q.candidates.append(cand)
             queries.append(q)
     else:

@@ -19,6 +19,7 @@
 #include <condition_variable>
 #include <functional>
 #include <mutex>
+#include <random>
 
 // ---------------------------------------------------------------------------
 // Persistent worker pool.  Spawning std::thread per batch call would
@@ -194,6 +195,106 @@ void mtr_sliding_l1(const int32_t* vals, int64_t n_out, int64_t w, int64_t* D) {
         upd(h2, h1, vals[i - 1 + 2 * w], +1);
         D[i] = d;
     }
+}
+
+// ---------------------------------------------------------------------------
+// 2c. Full Manhattan directional-index pass for one read
+//     (fill_directional_index_with_end, fill_directional_index.c:549-602),
+//     replacing the per-(k,w) Python round trips.  Mutates the persistent
+//     input_w_rand arena buffer in place — its stale tail is read by wide
+//     windows, a reference quirk required for bit-identical output.
+//     MT19937: std::mt19937 seeded with 0 matches init_genrand(0) exactly
+//     (same Knuth seeding and tempering); random_base = draw & 3... the
+//     reference uses genrand_int32() % 4 (fill_directional_index.c:131),
+//     identical for unsigned draws.
+// ---------------------------------------------------------------------------
+void mtr_fill_di_manhattan(int32_t* buf, int64_t buf_len, const int32_t* org,
+                           int64_t L, int64_t rsl,
+                           double* di, int64_t* di_end, int64_t* di_w) {
+    const int64_t di_len = L + 2 * rsl;
+    for (int64_t i = 0; i < di_len; i++) { di[i] = -1.0; di_end[i] = -1; di_w[i] = -1; }
+
+    static thread_local std::vector<double> di_tmp_v;
+    static thread_local std::vector<int64_t> D_v;
+    static thread_local std::vector<int32_t> h1_v, h2_v;
+    di_tmp_v.resize(di_len);
+    double* di_tmp = di_tmp_v.data();
+
+    const int ks[3] = {1, 3, 5};
+    for (int ki = 0; ki < 3; ki++) {
+        const int k = ks[ki];
+        const int64_t max_w = (k == 1) ? 20 : (k == 3) ? 80 : 10240;
+        // --- init_input_w_rand (fill_directional_index.c:137-169) ---
+        std::mt19937 mt(0);
+        const int64_t l4 = std::min(L + 4 * rsl, buf_len);
+        for (int64_t i = 0; i < l4; i++) buf[i] = (int32_t)(mt() & 3u);
+        for (int64_t i = 0; i < rsl; i++) buf[i] = (int32_t)(mt() & 3u);
+        std::memcpy(buf + rsl, org, (size_t)L * 4);
+        for (int64_t i = 0; i < rsl; i++) buf[rsl + L + i] = (int32_t)(mt() & 3u);
+        // in-place rolling k-mer codes over [0, L+2rsl-k+1); reads of
+        // buf[i+k-1] always precede the write at i (i+k-1 >= i)
+        const int64_t n_codes = L + 2 * rsl - k + 1;
+        if (n_codes > 0) {
+            int64_t p4k1 = 1;
+            for (int t = 0; t < k - 1; t++) p4k1 *= 4;
+            int64_t code = 0;
+            for (int t = 0; t < k; t++) code = code * 4 + buf[t];
+            for (int64_t i = 0; i < n_codes; i++) {
+                int64_t next = 0;
+                if (i + 1 < n_codes) next = (code % p4k1) * 4 + buf[i + k];
+                buf[i] = (int32_t)code;
+                code = next;
+            }
+        }
+        // --- (k, w) sweep ---
+        for (int64_t w = 5; w <= max_w && w < L / 2; w *= 2) {
+            const int64_t n_i = di_len - w - rsl - k + 1;
+            for (int64_t i = 0; i < di_len; i++) di_tmp[i] = -1.0;
+            if (n_i > 0) {
+                const int64_t n_out = n_i + w;
+                const int64_t n_pos = n_out + 2 * w - 1;
+                int32_t vmax = 0;
+                for (int64_t i = 0; i < n_pos; i++) if (buf[i] > vmax) vmax = buf[i];
+                if ((int64_t)h1_v.size() < vmax + 1) { h1_v.resize(vmax + 1); h2_v.resize(vmax + 1); }
+                std::fill(h1_v.begin(), h1_v.begin() + vmax + 1, 0);
+                std::fill(h2_v.begin(), h2_v.begin() + vmax + 1, 0);
+                D_v.resize(n_out);
+                int64_t* D = D_v.data();
+                int32_t* h1 = h1_v.data();
+                int32_t* h2 = h2_v.data();
+                int64_t d = 0;
+                for (int64_t i = 0; i < w; i++) { h1[buf[i]]++; h2[buf[i + w]]++; }
+                for (int32_t v = 0; v <= vmax; v++) d += std::abs(h1[v] - h2[v]);
+                D[0] = d;
+                auto upd = [&](int32_t* ha, int32_t* hb, int32_t v, int32_t delta) {
+                    d -= std::abs(ha[v] - hb[v]);
+                    ha[v] += delta;
+                    d += std::abs(ha[v] - hb[v]);
+                };
+                for (int64_t i = 1; i < n_out; i++) {
+                    upd(h1, h2, buf[i - 1], -1);
+                    upd(h1, h2, buf[i - 1 + w], +1);
+                    upd(h2, h1, buf[i - 1 + w], -1);
+                    upd(h2, h1, buf[i - 1 + 2 * w], +1);
+                    D[i] = d;
+                }
+                // true division: reciprocal-multiply would not be
+                // bit-identical to the reference's / (2*w)
+                const double dw = (double)(2 * w);
+                for (int64_t i = 0; i < n_i; i++)
+                    di_tmp[w + i] = (double)(D[i] - D[i + w]) / dw;
+            }
+            mtr_extrema_pair(di_tmp, di_len, w, di, di_end, di_w);
+        }
+    }
+    // de-shift flanks back to read coordinates (:587-597)
+    for (int64_t i = 0; i < L; i++) {
+        di[i] = di[rsl + i];
+        di_end[i] = di_end[rsl + i] - rsl;
+        di_w[i] = di_w[rsl + i];
+    }
+    for (int64_t i = L; i < di_len; i++) { di[i] = -1.0; di_end[i] = -1; di_w[i] = -1; }
+    mtr_remove_redundant(di, di_end, L, 0.98);
 }
 
 // ---------------------------------------------------------------------------
