@@ -22,6 +22,7 @@ acceptance order afterwards yields byte-identical output.
 from __future__ import annotations
 
 import dataclasses
+import math
 import time
 from collections import defaultdict
 
@@ -352,20 +353,26 @@ def _wrap_dp_schemes(batcher, queries_with_candidates) -> None:
                 dpjobs.append(DPJob(org_arr, q.qs, q.qe, unit, scheme))
             meta.append((q, cand))
     batcher.run(dpjobs)
+    f32 = np.float32
     for i, (q, cand) in enumerate(meta):
         job113, job131 = dpjobs[2 * i], dpjobs[2 * i + 1]
-        best = None
+        # ratio from raw counts (float32, NaN on 0/0 — C semantics),
+        # then a single record copy for the winning scheme
+        best_job = None
         best_ratio = -1.0
         for job in (job113, job131):
-            tmp = cand.copy()
-            apply_counts(tmp, job)
-            r = tmp.match_ratio()
+            (n_m, n_x, n_i, n_d, _scanned), _, _ = job.result
+            denom = n_m + n_x + n_i + n_d
+            r = float(f32(n_m) / f32(denom)) if denom else math.nan
             if ratio_less(best_ratio, r):
-                best = tmp
+                best_job = job
                 best_ratio = r
-        if best is None:
-            best = RepeatRecord()
-        _assign(cand, best)
+        if best_job is None:
+            _assign(cand, RepeatRecord())
+        else:
+            tmp = cand.copy()
+            apply_counts(tmp, best_job)
+            _assign(cand, tmp)
 
 
 def _polish_phase(batcher, states, polish_set, cfg) -> None:
@@ -572,23 +579,27 @@ def process_batch(states: list[ReadState], batcher: WrapDPBatcher, cfg: MTRConfi
                 best = tmp
         range_result[key] = best
 
-    # phase 6b: sequential acceptance replay + chaining
+    # phase 6b: sequential acceptance replay + chaining.  Only positions
+    # that were ranges at collection time can be ranges now (suppression
+    # only clears entries), so iterating the precomputed positions and
+    # re-checking liveness is equivalent to the reference's 0..L scan.
     out = []
     for ridx, st in enumerate(states):
         L = st.read.length
         di, di_end, di_w = st.di, st.di_end, st.di_w
         accepted: list[RepeatRecord] = []
-        for qs in range(L):
+        for qs in np.nonzero((di_end > -1) & (di_end < L))[0]:
             qe = int(di_end[qs])
-            if -1 < qe < L:
-                rr = range_result.get((ridx, qs, qe))
-                if rr is not None and rr.repeat_len > 0 and rr.rep_start + MIN_PERIOD * MIN_NUM_FREQ_UNIT < rr.rep_end:
-                    accepted.append(rr)
-                    for i in range(rr.rep_start, rr.rep_end):
-                        if di[i] != -1 and di_end[i] < rr.rep_end:
-                            di[i] = -1.0
-                            di_end[i] = -1
-                            di_w[i] = -1
+            if qe < 0:
+                continue  # suppressed by an earlier acceptance this pass
+            rr = range_result.get((ridx, qs, qe))
+            if rr is not None and rr.repeat_len > 0 and rr.rep_start + MIN_PERIOD * MIN_NUM_FREQ_UNIT < rr.rep_end:
+                accepted.append(rr)
+                span = np.arange(rr.rep_start, rr.rep_end)
+                kill = span[(di[span] != -1) & (di_end[span] < rr.rep_end)]
+                di[kill] = -1.0
+                di_end[kill] = -1
+                di_w[kill] = -1
         with TIMERS.section("chaining"):
             out.append(chain_records(accepted))
     return out
