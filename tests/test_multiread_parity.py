@@ -1,0 +1,44 @@
+"""Multi-read byte parity vs the reference binary.
+
+The golden was produced by the reference mTR built unmodified, run with
+GLIBC_TUNABLES=glibc.malloc.tcache_count=0 — a deterministic-allocator
+configuration.  Default-glibc reference runs break ties between
+identical-coordinate alignments by malloc address order (see PARITY.md);
+this golden pins the allocator-independent semantics.  20 reads exercise
+every cross-read persistent-buffer quirk (stale input_w_rand tail, arena
+reuse) that single-read fixtures cannot.
+"""
+
+import io
+import os
+
+from mtr_tpu.config import MTRConfig
+from mtr_tpu.pipeline import run_file
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+
+
+def _run(backend: str) -> str:
+    out = io.StringIO()
+    run_file(
+        f"{GOLDEN}/multi20_100x10.fasta",
+        MTRConfig(backend=backend, reads_per_batch=16),  # forces 2 batches
+        out,
+    )
+    return out.getvalue()
+
+
+def test_multiread_host_parity():
+    with open(f"{GOLDEN}/multi20_100x10.out") as f:
+        assert _run("host") == f.read()
+
+
+def test_multiread_batch_boundary_invariance():
+    """Batching must not change output: 20 reads as 2 batches vs 20."""
+    out = io.StringIO()
+    run_file(
+        f"{GOLDEN}/multi20_100x10.fasta",
+        MTRConfig(backend="host", reads_per_batch=128),
+        out,
+    )
+    assert out.getvalue() == _run("host")
