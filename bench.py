@@ -113,7 +113,7 @@ def main():
     else:
         candidates = ["host"]
         if preflight_device():
-            candidates.append("device")
+            candidates.extend(["device", "hybrid"])
 
     results = {}
     for b in candidates:

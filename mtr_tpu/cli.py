@@ -26,7 +26,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Give a minimum match ratio ranging from 0 to 1.")
     p.add_argument("-p", action="store_false", dest="manhattan",
                    help="Use Pearson's correlation coefficient distance in place of Manhattan distance.")
-    p.add_argument("--backend", choices=["oracle", "device", "host", "auto"], default="auto",
+    p.add_argument("--backend", choices=["oracle", "device", "host", "hybrid", "auto"], default="auto",
                    help="oracle = bit-exact NumPy path; device = batched TPU pipeline; host = native C++ DP engine.")
     p.add_argument("--checkpoint", default=None, metavar="PATH",
                    help="resume file: skips reads already emitted by a previous run.")

@@ -38,7 +38,7 @@ class MTRConfig:
     manhattan_distance: bool = True     # default; -p selects Pearson
 
     # ---- framework-only knobs (no reference equivalent) ----
-    backend: str = "auto"     # "oracle" | "device" | "auto"
+    backend: str = "auto"     # "oracle" | "device" | "host" | "hybrid" | "auto"
     reads_per_batch: int = 64  # device pipeline batching granularity
     use_native: bool = True    # use the C++ host runtime when available
 

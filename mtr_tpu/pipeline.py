@@ -284,6 +284,39 @@ class HostDPBatcher:
                 job.result = (cons[q], miss[q])
 
 
+class HybridDPBatcher:
+    """Big DP jobs go to the TPU (where ~97% of the cells are on repeat
+    workloads), small jobs to the native host engine, overlapped: the
+    device chunks execute asynchronously while the host threads chew the
+    small-job tail.  Every engine is bit-exact, so the split is free of
+    semantic risk.  cell_threshold picks the crossover; the default
+    (4M cells) amortizes even high dispatch latencies."""
+
+    def __init__(self, cell_threshold: int = 1 << 22):
+        self.device = WrapDPBatcher()
+        self.host = HostDPBatcher()
+        self.cell_threshold = cell_threshold
+
+    def run(self, jobs: list[DPJob]) -> None:
+        import threading
+
+        uniq_jobs, remap = dedup_jobs(jobs)
+        big = [j for j in uniq_jobs
+               if (j.qe - j.qs + 1) * len(j.unit) >= self.cell_threshold]
+        small = [j for j in uniq_jobs
+                 if (j.qe - j.qs + 1) * len(j.unit) < self.cell_threshold]
+        if big:
+            t = threading.Thread(target=self.device._run, args=(big,))
+            t.start()
+            self.host._run(small)
+            t.join()
+        else:
+            self.host._run(small)
+        if len(uniq_jobs) != len(jobs):
+            for job, ui in zip(jobs, remap):
+                job.result = uniq_jobs[ui].result
+
+
 def make_batcher(cfg: MTRConfig):
     """Pick the DP engine: device (Pallas) when a TPU backend is
     initialized, else the native host engine."""
@@ -291,6 +324,8 @@ def make_batcher(cfg: MTRConfig):
         return WrapDPBatcher()
     if cfg.backend == "host":
         return HostDPBatcher()
+    if cfg.backend == "hybrid":
+        return HybridDPBatcher()
     # auto
     try:
         import jax

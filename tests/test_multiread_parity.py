@@ -33,6 +33,14 @@ def test_multiread_host_parity():
         assert _run("host") == f.read()
 
 
+def test_multiread_hybrid_parity():
+    """Hybrid split (big jobs -> device path, small -> host) must not
+    change output; on the CPU test mesh the device leg runs the same
+    Pallas kernel in interpret mode."""
+    with open(f"{GOLDEN}/multi20_100x10.out") as f:
+        assert _run("hybrid") == f.read()
+
+
 def test_multiread_batch_boundary_invariance():
     """Batching must not change output: 20 reads as 2 batches vs 20."""
     out = io.StringIO()
