@@ -99,8 +99,9 @@ def _load():
         ct.POINTER(ct.c_int32), ct.POINTER(ct.c_int32),
         ct.POINTER(ct.c_int32), ct.c_int,
     ]
-    lib.mtr_fill_di_manhattan.argtypes = [
+    lib.mtr_fill_di.argtypes = [
         ct.POINTER(ct.c_int32), i64, ct.POINTER(ct.c_int32), i64, i64,
+        ct.c_int,
         ct.POINTER(ct.c_double), ct.POINTER(i64), ct.POINTER(i64),
     ]
     lib.mtr_dbg_walk_batch2.argtypes = [
@@ -171,11 +172,13 @@ def remove_redundant(di, di_end, input_len, min_jaccard=0.98) -> bool:
     return True
 
 
-def fill_di_manhattan(buf: np.ndarray, org: np.ndarray, L: int, rsl: int):
-    """Full Manhattan DI pass for one read (flanks, k/w sweep, extrema
-    pairing, de-shift, redundancy removal) in one native call.  Mutates
-    `buf` (the persistent input_w_rand arena) in place, preserving the
-    stale-tail quirk.  Returns (di, di_end, di_w) or None without the lib."""
+def fill_di(buf: np.ndarray, org: np.ndarray, L: int, rsl: int,
+            manhattan: bool = True):
+    """Full DI pass for one read (flanks, k/w sweep in Manhattan or
+    Pearson mode, extrema pairing, de-shift, redundancy removal) in one
+    native call.  Mutates `buf` (the persistent input_w_rand arena) in
+    place, preserving the stale-tail quirk.  Returns (di, di_end, di_w)
+    or None without the lib."""
     lib = _load()
     if lib is None:
         return None
@@ -183,8 +186,8 @@ def fill_di_manhattan(buf: np.ndarray, org: np.ndarray, L: int, rsl: int):
     di = np.empty(di_len, np.float64)
     di_end = np.empty(di_len, np.int64)
     di_w = np.empty(di_len, np.int64)
-    lib.mtr_fill_di_manhattan(
-        _ip32(buf), len(buf), _ip32(org), L, rsl,
+    lib.mtr_fill_di(
+        _ip32(buf), len(buf), _ip32(org), L, rsl, 1 if manhattan else 0,
         _dp(di), _ip64(di_end), _ip64(di_w),
     )
     return di, di_end, di_w

@@ -243,10 +243,10 @@ def fill_directional_index_with_end(
             f"read length {L} with flank {rsl} overflows the reference's "
             f"1 Mbp DI arrays; reference behavior is undefined here"
         )
-    if manhattan and di_compute is None:
+    if di_compute is None:
         from mtr_tpu import native
 
-        res = native.fill_di_manhattan(arena.input_w_rand, arena.org_input, L, rsl)
+        res = native.fill_di(arena.input_w_rand, arena.org_input, L, rsl, manhattan)
         if res is not None:
             return res
     di = np.full(di_len, -1.0)

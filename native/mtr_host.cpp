@@ -208,15 +208,15 @@ void mtr_sliding_l1(const int32_t* vals, int64_t n_out, int64_t w, int64_t* D) {
 //     reference uses genrand_int32() % 4 (fill_directional_index.c:131),
 //     identical for unsigned draws.
 // ---------------------------------------------------------------------------
-void mtr_fill_di_manhattan(int32_t* buf, int64_t buf_len, const int32_t* org,
-                           int64_t L, int64_t rsl,
-                           double* di, int64_t* di_end, int64_t* di_w) {
+void mtr_fill_di(int32_t* buf, int64_t buf_len, const int32_t* org,
+                 int64_t L, int64_t rsl, int manhattan,
+                 double* di, int64_t* di_end, int64_t* di_w) {
     const int64_t di_len = L + 2 * rsl;
     for (int64_t i = 0; i < di_len; i++) { di[i] = -1.0; di_end[i] = -1; di_w[i] = -1; }
 
     static thread_local std::vector<double> di_tmp_v;
     static thread_local std::vector<int64_t> D_v;
-    static thread_local std::vector<int32_t> h1_v, h2_v;
+    static thread_local std::vector<int32_t> h1_v, h2_v, h0_v;
     di_tmp_v.resize(di_len);
     double* di_tmp = di_tmp_v.data();
 
@@ -250,7 +250,7 @@ void mtr_fill_di_manhattan(int32_t* buf, int64_t buf_len, const int32_t* org,
         for (int64_t w = 5; w <= max_w && w < L / 2; w *= 2) {
             const int64_t n_i = di_len - w - rsl - k + 1;
             for (int64_t i = 0; i < di_len; i++) di_tmp[i] = -1.0;
-            if (n_i > 0) {
+            if (n_i > 0 && manhattan) {
                 const int64_t n_out = n_i + w;
                 const int64_t n_pos = n_out + 2 * w - 1;
                 int32_t vmax = 0;
@@ -283,6 +283,75 @@ void mtr_fill_di_manhattan(int32_t* buf, int64_t buf_len, const int32_t* org,
                 const double dw = (double)(2 * w);
                 for (int64_t i = 0; i < n_i; i++)
                     di_tmp[w + i] = (double)(D[i] - D[i + w]) / dw;
+            } else if (n_i > 0) {
+                // Pearson mode (-p): DI = P12 - P01 over three adjacent
+                // w-windows, with the zero-SD guard
+                // (fill_directional_index.c:298-450).  Integer window
+                // sums maintained incrementally (exact, order-free);
+                // float combining matches the oracle/reference ops.
+                const int64_t n_pos = n_i + 3 * w - 1;
+                int32_t vmax = 0;
+                for (int64_t i = 0; i < n_pos; i++) if (buf[i] > vmax) vmax = buf[i];
+                if ((int64_t)h0_v.size() < vmax + 1) h0_v.resize(vmax + 1);
+                if ((int64_t)h1_v.size() < vmax + 1) h1_v.resize(vmax + 1);
+                if ((int64_t)h2_v.size() < vmax + 1) h2_v.resize(vmax + 1);
+                std::fill(h0_v.begin(), h0_v.begin() + vmax + 1, 0);
+                std::fill(h1_v.begin(), h1_v.begin() + vmax + 1, 0);
+                std::fill(h2_v.begin(), h2_v.begin() + vmax + 1, 0);
+                int32_t* h0 = h0_v.data();
+                int32_t* h1 = h1_v.data();
+                int32_t* h2 = h2_v.data();
+                int64_t q0 = 0, q1 = 0, q2 = 0, ip01 = 0, ip12 = 0;
+                for (int64_t i = 0; i < w; i++) {
+                    h0[buf[i]]++; h1[buf[i + w]]++; h2[buf[i + 2 * w]]++;
+                }
+                for (int32_t v = 0; v <= vmax; v++) {
+                    q0 += (int64_t)h0[v] * h0[v];
+                    q1 += (int64_t)h1[v] * h1[v];
+                    q2 += (int64_t)h2[v] * h2[v];
+                    ip01 += (int64_t)h0[v] * h1[v];
+                    ip12 += (int64_t)h1[v] * h2[v];
+                }
+                double n4k = 1.0;
+                for (int t = 0; t < k; t++) n4k *= 4.0;
+                const double s2 = (double)w * (double)w;
+                auto emit = [&](int64_t i) {
+                    double sd0 = std::sqrt((double)q0 * n4k - s2);
+                    double sd1 = std::sqrt((double)q1 * n4k - s2);
+                    double sd2 = std::sqrt((double)q2 * n4k - s2);
+                    double p01 = (sd0 * sd1 > 0.0)
+                        ? ((double)ip01 * n4k - s2) / (sd0 * sd1) : 0.0;
+                    double p12 = (sd1 * sd2 > 0.0)
+                        ? ((double)ip12 * n4k - s2) / (sd1 * sd2) : 0.0;
+                    di_tmp[w + i] = p12 - p01;
+                };
+                emit(0);
+                // per-window mutation: adjust q/ip sums around each change
+                auto mut0 = [&](int32_t v, int32_t d) {
+                    q0 += (int64_t)d * (2 * h0[v] + d);
+                    ip01 += (int64_t)d * h1[v];
+                    h0[v] += d;
+                };
+                auto mut1 = [&](int32_t v, int32_t d) {
+                    q1 += (int64_t)d * (2 * h1[v] + d);
+                    ip01 += (int64_t)d * h0[v];
+                    ip12 += (int64_t)d * h2[v];
+                    h1[v] += d;
+                };
+                auto mut2 = [&](int32_t v, int32_t d) {
+                    q2 += (int64_t)d * (2 * h2[v] + d);
+                    ip12 += (int64_t)d * h1[v];
+                    h2[v] += d;
+                };
+                for (int64_t i = 1; i < n_i; i++) {
+                    mut0(buf[i - 1], -1);
+                    mut0(buf[i - 1 + w], +1);
+                    mut1(buf[i - 1 + w], -1);
+                    mut1(buf[i - 1 + 2 * w], +1);
+                    mut2(buf[i - 1 + 2 * w], -1);
+                    mut2(buf[i - 1 + 3 * w], +1);
+                    emit(i);
+                }
             }
             mtr_extrema_pair(di_tmp, di_len, w, di, di_end, di_w);
         }

@@ -50,3 +50,16 @@ def test_multiread_batch_boundary_invariance():
         out,
     )
     assert out.getvalue() == _run("host")
+
+
+def test_alignment_print_parity():
+    """-a pretty-printed alignments byte-match the reference
+    (wrap_around_DP.c:57-213: 50-column blocks in reverse chunk order)."""
+    out = io.StringIO()
+    run_file(
+        "/root/reference/test_multiple_TRs/data/3_5.fasta",
+        MTRConfig(backend="host", print_alignment=True),
+        out,
+    )
+    with open(f"{GOLDEN}/3_5_alignment.out") as f:
+        assert out.getvalue() == f.read()
