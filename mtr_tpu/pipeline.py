@@ -568,7 +568,7 @@ def process_batch(states: list[ReadState], batcher: WrapDPBatcher, cfg: MTRConfi
     # phase 4b: direction selection + gates -> per-query result; build polish set
     # (queries without candidates were never materialized = cleared records)
     polish_set = []
-    TIMERS.count("queries", n_q)
+    TIMERS.count("speculative_queries", n_q)
     for q in queries:
         if not q.candidates or q.found == 0:
             q.result = None
@@ -627,6 +627,7 @@ def process_batch(states: list[ReadState], batcher: WrapDPBatcher, cfg: MTRConfi
             qe = int(di_end[qs])
             if qe < 0:
                 continue  # suppressed by an earlier acceptance this pass
+            TIMERS.count("queries")  # reference query_counter: per range
             rr = range_result.get((ridx, qs, qe))
             if rr is not None and rr.repeat_len > 0 and rr.rep_start + MIN_PERIOD * MIN_NUM_FREQ_UNIT < rr.rep_end:
                 accepted.append(rr)
