@@ -55,21 +55,29 @@ def main(argv=None) -> int:
         return 1
     t0 = time.time()
     out = sys.stdout
-    if cfg.backend == "oracle":
-        from mtr_tpu.oracle.pipeline import run_file_oracle
+    from mtr_tpu.utils.encoding import InvalidBaseError
 
-        for _read, records in run_file_oracle(args.fasta, cfg):
-            for rec in records:
-                out.write(rec.format_record() + "\n")
-                if cfg.print_alignment:
-                    from mtr_tpu.pretty import pretty_print_alignment
-                    out.write("\n")
-                    pretty_print_alignment(_read.codes, rec, out)
-            out.flush()
-    else:
-        from mtr_tpu.pipeline import run_file
+    try:
+        if cfg.backend == "oracle":
+            from mtr_tpu.oracle.pipeline import run_file_oracle
 
-        run_file(args.fasta, cfg, out, checkpoint=args.checkpoint, strict=args.strict)
+            for _read, records in run_file_oracle(args.fasta, cfg):
+                for rec in records:
+                    out.write(rec.format_record() + "\n")
+                    if cfg.print_alignment:
+                        from mtr_tpu.pretty import pretty_print_alignment
+                        out.write("\n")
+                        pretty_print_alignment(_read.codes, rec, out)
+                out.flush()
+        else:
+            from mtr_tpu.pipeline import run_file
+
+            run_file(args.fasta, cfg, out, checkpoint=args.checkpoint, strict=args.strict)
+    except (InvalidBaseError, ValueError) as e:
+        # reference behavior: diagnostic to stderr + EXIT_FAILURE
+        # (handle_one_file.c:185,244)
+        print(str(e), file=sys.stderr)
+        return 1
     if cfg.print_computation_time:
         from mtr_tpu.utils.timers import TIMERS
 
