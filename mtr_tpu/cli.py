@@ -26,6 +26,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Give a minimum match ratio ranging from 0 to 1.")
     p.add_argument("-p", action="store_false", dest="manhattan",
                    help="Use Pearson's correlation coefficient distance in place of Manhattan distance.")
+    p.add_argument("--cluster", action="store_true",
+                   help="after all reads, run the cross-read unit clustering "
+                        "stage (legacy phase 2) and print '#CLUSTER repID "
+                        "groupFreq unit' lines to stdout")
     p.add_argument("--backend", choices=["oracle", "device", "host", "hybrid", "auto"], default="auto",
                    help="oracle = bit-exact NumPy path; device = batched TPU pipeline; host = native C++ DP engine.")
     p.add_argument("--checkpoint", default=None, metavar="PATH",
@@ -72,7 +76,18 @@ def main(argv=None) -> int:
         else:
             from mtr_tpu.pipeline import run_file
 
-            run_file(args.fasta, cfg, out, checkpoint=args.checkpoint, strict=args.strict)
+            collected = [] if args.cluster else None
+            run_file(args.fasta, cfg, out, checkpoint=args.checkpoint,
+                     strict=args.strict,
+                     record_sink=collected.append if args.cluster else None)
+            if args.cluster:
+                from mtr_tpu.clustering import cluster_repeats
+
+                for c in cluster_repeats(collected, cfg.min_match_ratio):
+                    out.write(
+                        f"#CLUSTER\t{c.rep_id}\t{c.group_freq}\t"
+                        f"{c.record.read_id}\t{c.record.string}\n"
+                    )
     except (InvalidBaseError, ValueError) as e:
         # reference behavior: diagnostic to stderr + EXIT_FAILURE
         # (handle_one_file.c:185,244)

@@ -647,6 +647,7 @@ def run_file(
     out=None,
     checkpoint: str | None = None,
     strict: bool = True,
+    record_sink=None,
 ):
     """Batched device-backed equivalent of handle_one_file.
 
@@ -657,6 +658,9 @@ def run_file(
     strict: when False, a failing read batch is reported to stderr and
     skipped instead of aborting the file (failure isolation for
     production sweeps).
+    record_sink: optional callable receiving every emitted RepeatRecord
+    (used by the --cluster stage, which needs fields such as freq_2mer
+    that the 13-field text format does not carry).
     """
     import sys
 
@@ -691,6 +695,8 @@ def run_file(
         for st, records in zip(batch, results):
             for rec in records:
                 out.write(rec.format_record() + "\n")
+                if record_sink is not None:
+                    record_sink(rec)
                 if cfg.print_alignment:
                     from mtr_tpu.pretty import pretty_print_alignment
 
