@@ -678,21 +678,30 @@ def run_file(
         except FileNotFoundError:
             skip = 0
 
-    def flush():
-        nonlocal batch, done_reads
-        if not batch:
+    # Batch compute runs in a worker thread so the NEXT batch's FASTA
+    # read + DI pass (main thread) overlaps it; emission stays in order
+    # because each flush drains the previous batch first.
+    import threading
+
+    pending = None  # (thread, states, holder)
+
+    def drain():
+        nonlocal pending, done_reads
+        if pending is None:
             return
-        try:
-            results = process_batch(batch, batcher, cfg)
-        except Exception as e:  # pragma: no cover - failure isolation
+        t, states, holder = pending
+        t.join()
+        pending = None
+        if "error" in holder:
             if strict:
-                raise
+                raise holder["error"]
             print(
-                f"warning: batch of {len(batch)} reads failed ({e}); skipped",
+                f"warning: batch of {len(states)} reads failed "
+                f"({holder['error']}); skipped",
                 file=sys.stderr,
             )
-            results = [[] for _ in batch]
-        for st, records in zip(batch, results):
+            holder["results"] = [[] for _ in states]
+        for st, records in zip(states, holder["results"]):
             for rec in records:
                 out.write(rec.format_record() + "\n")
                 if record_sink is not None:
@@ -707,7 +716,25 @@ def run_file(
         if checkpoint:
             with open(checkpoint, "w") as f:
                 f.write(str(done_reads + skip))
+
+    def flush():
+        nonlocal batch, pending
+        if not batch:
+            return
+        drain()
+        states = batch
         batch = []
+        holder: dict = {}
+
+        def work():
+            try:
+                holder["results"] = process_batch(states, batcher, cfg)
+            except Exception as e:  # pragma: no cover - failure isolation
+                holder["error"] = e
+
+        t = threading.Thread(target=work)
+        t.start()
+        pending = (t, states, holder)
 
     min_rsl = 100
     for ridx, read in enumerate(iter_fasta(path, cfg.max_input_length)):
@@ -725,3 +752,4 @@ def run_file(
         if len(batch) >= cfg.reads_per_batch:
             flush()
     flush()
+    drain()
