@@ -274,11 +274,10 @@ class HostDPBatcher:
             raise RuntimeError("native library unavailable for host DP")
         counts, cons, miss = res
         TIMERS.count("dp_jobs", n)
+        clist = counts[:n].tolist()  # one C-level conversion for all rows
         for q, job in enumerate(jobs):
             if job.mode == "counts":
-                m, x, ins, dele, scanned, i_final, max_i = (
-                    int(v) for v in counts[q]
-                )
+                m, x, ins, dele, scanned, i_final, max_i = clist[q]
                 job.result = ((m, x, ins, dele, scanned), i_final, max_i)
             else:
                 job.result = (cons[q], miss[q])
@@ -405,9 +404,9 @@ def _wrap_dp_schemes(batcher, queries_with_candidates) -> None:
         if best_job is None:
             _assign(cand, RepeatRecord())
         else:
-            tmp = cand.copy()
-            apply_counts(tmp, best_job)
-            _assign(cand, tmp)
+            # apply_counts touches exactly the fields set_rr would copy
+            # from a counts-updated clone, so write cand directly
+            apply_counts(cand, best_job)
 
 
 def _polish_phase(batcher, states, polish_set, cfg) -> None:
