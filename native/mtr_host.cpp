@@ -43,6 +43,9 @@ public:
 
     void run(int n_threads, const std::function<void(int)>& fn) {
         if (n_threads <= 1) { fn(0); return; }
+        // dispatches are not reentrant (single task slot); serialize
+        // concurrent callers (e.g. future multi-threaded batchers)
+        std::lock_guard<std::mutex> run_lk(run_mu_);
         ensure(n_threads - 1);
         {
             std::unique_lock<std::mutex> lk(mu_);
@@ -92,6 +95,7 @@ private:
     }
 
     int n_workers_ = 0;
+    std::mutex run_mu_;
     std::mutex mu_;
     std::condition_variable cv_, cv_done_;
     const std::function<void(int)>* task_ = nullptr;
