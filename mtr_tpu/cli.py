@@ -57,17 +57,25 @@ def main(argv=None) -> int:
     if not os.path.exists(args.fasta):
         print(f"fatal error: cannot open {args.fasta}", file=sys.stderr)
         return 1
+    if args.cluster and args.checkpoint:
+        print("--cluster needs every record of the run; it cannot be "
+              "combined with --checkpoint resume", file=sys.stderr)
+        return 1
     t0 = time.time()
     out = sys.stdout
     from mtr_tpu.utils.encoding import InvalidBaseError
+    from mtr_tpu.io.fasta import FatalInputError
 
     try:
+        collected = [] if args.cluster else None
         if cfg.backend == "oracle":
             from mtr_tpu.oracle.pipeline import run_file_oracle
 
             for _read, records in run_file_oracle(args.fasta, cfg):
                 for rec in records:
                     out.write(rec.format_record() + "\n")
+                    if collected is not None:
+                        collected.append(rec)
                     if cfg.print_alignment:
                         from mtr_tpu.pretty import pretty_print_alignment
                         out.write("\n")
@@ -76,19 +84,18 @@ def main(argv=None) -> int:
         else:
             from mtr_tpu.pipeline import run_file
 
-            collected = [] if args.cluster else None
             run_file(args.fasta, cfg, out, checkpoint=args.checkpoint,
                      strict=args.strict,
                      record_sink=collected.append if args.cluster else None)
-            if args.cluster:
-                from mtr_tpu.clustering import cluster_repeats
+        if args.cluster:
+            from mtr_tpu.clustering import cluster_repeats
 
-                for c in cluster_repeats(collected, cfg.min_match_ratio):
-                    out.write(
-                        f"#CLUSTER\t{c.rep_id}\t{c.group_freq}\t"
-                        f"{c.record.read_id}\t{c.record.string}\n"
-                    )
-    except (InvalidBaseError, ValueError) as e:
+            for c in cluster_repeats(collected, cfg.min_match_ratio):
+                out.write(
+                    f"#CLUSTER\t{c.rep_id}\t{c.group_freq}\t"
+                    f"{c.record.read_id}\t{c.record.string}\n"
+                )
+    except (InvalidBaseError, FatalInputError) as e:
         # reference behavior: diagnostic to stderr + EXIT_FAILURE
         # (handle_one_file.c:185,244)
         print(str(e), file=sys.stderr)

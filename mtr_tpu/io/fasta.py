@@ -28,6 +28,11 @@ class Read:
         return len(self.codes)
 
 
+class FatalInputError(ValueError):
+    """Input violates a reference hard limit (handle_one_file.c:244-248):
+    diagnostic to stderr + EXIT_FAILURE at the CLI."""
+
+
 def iter_fasta(path: str, max_input_length: int = 1_000_000) -> Iterator[Read]:
     read_id: str | None = None
     chunks: list[bytes] = []
@@ -35,7 +40,7 @@ def iter_fasta(path: str, max_input_length: int = 1_000_000) -> Iterator[Read]:
     def finish() -> Read:
         seq = b"".join(chunks)
         if len(seq) >= max_input_length:
-            raise ValueError(
+            raise FatalInputError(
                 f"read {read_id!r} has length {len(seq)} >= limit {max_input_length}"
             )
         return Read(read_id=read_id, codes=encode_bases(seq))

@@ -93,14 +93,14 @@ def sliding_l1(vals: np.ndarray, w: int, n_out: int, chunk: int = 256, use_nativ
     return D
 
 
-def di_manhattan(buf: np.ndarray, di_len: int, w: int, k: int, rsl: int) -> np.ndarray:
+def di_manhattan(buf: np.ndarray, di_len: int, w: int, k: int, rsl: int, use_native: bool = True) -> np.ndarray:
     """fill_directional_index_Manhattan (:171-295): DI values at positions
     [w, n_i + w); everything else -1."""
     di_tmp = np.full(di_len, -1.0)
     n_i = di_len - w - rsl - k + 1
     if n_i <= 0:
         return di_tmp
-    D = sliding_l1(buf, w, n_i + w)
+    D = sliding_l1(buf, w, n_i + w, use_native=use_native)
     d01 = D[:n_i]
     d12 = D[w : w + n_i]
     di_tmp[w : w + n_i] = (d01 - d12) / float(2 * w)
@@ -228,6 +228,7 @@ def fill_directional_index_with_end(
     rsl: int,
     manhattan: bool = True,
     di_compute=None,
+    use_native: bool = True,
 ):
     """fill_directional_index_with_end (:549-602).
 
@@ -243,7 +244,7 @@ def fill_directional_index_with_end(
             f"read length {L} with flank {rsl} overflows the reference's "
             f"1 Mbp DI arrays; reference behavior is undefined here"
         )
-    if di_compute is None:
+    if di_compute is None and use_native:
         from mtr_tpu import native
 
         res = native.fill_di(arena.input_w_rand, arena.org_input, L, rsl, manhattan)
@@ -261,10 +262,10 @@ def fill_directional_index_with_end(
             if di_compute is not None:
                 di_tmp = di_compute(arena.input_w_rand, di_len, w, k, rsl)
             elif manhattan:
-                di_tmp = di_manhattan(arena.input_w_rand, di_len, w, k, rsl)
+                di_tmp = di_manhattan(arena.input_w_rand, di_len, w, k, rsl, use_native=use_native)
             else:
                 di_tmp = di_pearson(arena.input_w_rand, di_len, w, k, rsl)
-            put_local_maximum(di_tmp, di, di_end, di_w, di_len, w)
+            put_local_maximum(di_tmp, di, di_end, di_w, di_len, w, use_native=use_native)
             w *= 2
 
     # de-shift random flanks back to read coordinates (:587-597)
@@ -275,5 +276,5 @@ def fill_directional_index_with_end(
     di_end[L:] = -1
     di_w[L:] = -1
 
-    remove_redundant_ranges(di, di_end, L)
+    remove_redundant_ranges(di, di_end, L, use_native=use_native)
     return di, di_end, di_w

@@ -73,7 +73,8 @@ def handle_one_read_oracle(
     rsl = min_rsl if input_len < min_rsl * 10 else input_len // 10
 
     di, di_end, di_w = fill_directional_index_with_end(
-        arena, input_len, rsl, manhattan=cfg.manhattan_distance, di_compute=di_compute
+        arena, input_len, rsl, manhattan=cfg.manhattan_distance,
+        di_compute=di_compute, use_native=cfg.use_native,
     )
 
     accepted: list[RepeatRecord] = []

@@ -131,6 +131,28 @@ class WrapDPBatcher:
     Pallas fill kernel, and walks the move tensors ON DEVICE — only the
     small count/consensus arrays ever cross the host link."""
 
+    def __init__(self):
+        # Freelist of padding-buffer triples per shape.  A buffer is
+        # only reused after its chunk's RESULT has materialized (inputs
+        # fully consumed): JAX may alias page-aligned numpy args
+        # zero-copy on the CPU backend, so refilling a buffer while a
+        # prior dispatch is still in flight would corrupt that chunk.
+        self._free: dict = defaultdict(list)
+        self._seq = 0
+
+    def _acquire(self, b_pad, r_pad, u_pad):
+        from mtr_tpu import native
+
+        lst = self._free[(b_pad, r_pad, u_pad)]
+        if lst:
+            return lst.pop()
+        self._seq += 1
+        s = self._seq
+        reps = native.POOL.get(f"dev_reps_{b_pad}x{r_pad}_{s}", (b_pad, r_pad), np.int32)
+        units = native.POOL.get(f"dev_units_{b_pad}x{u_pad}_{s}", (b_pad, u_pad), np.int32)
+        scal = native.POOL.get(f"dev_scal_{b_pad}_{s}", (b_pad, 8), np.int32)
+        return (reps, units, scal)
+
     def run(self, jobs: list[DPJob]) -> None:
         uniq_jobs, remap = dedup_jobs(jobs)
         self._run(uniq_jobs)
@@ -159,8 +181,8 @@ class WrapDPBatcher:
         # start all device->host transfers before blocking on any: each
         # blocking pull on a proxied TPU costs a full tunnel roundtrip,
         # async copies overlap with the remaining executions
-        for _chunk, _mode, payload in pending:
-            for arr in payload:
+        for item in pending:
+            for arr in item[2]:
                 try:
                     arr.copy_to_host_async()
                 except AttributeError:
@@ -179,12 +201,11 @@ class WrapDPBatcher:
 
         n = len(chunk)
         b_pad = B_FOR_U[u_pad]
-        # pooled per shape: fresh per-chunk np.full buffers would pay the
-        # lazy-memory first-touch cost (see native._BufPool); JAX copies
-        # numpy args to device at call time, so reuse after dispatch is safe
-        reps = native.POOL.get(f"dev_reps_{b_pad}x{r_pad}", (b_pad, r_pad), np.int32)
-        units = native.POOL.get(f"dev_units_{b_pad}x{u_pad}", (b_pad, u_pad), np.int32)
-        scal = native.POOL.get(f"dev_scal_{b_pad}", (b_pad, 8), np.int32)
+        # pooled per shape via a freelist: fresh per-chunk np.full buffers
+        # would pay the lazy-memory first-touch cost (see native._BufPool),
+        # and shape-keyed reuse alone would race in-flight dispatches
+        buffers = self._acquire(b_pad, r_pad, u_pad)
+        reps, units, scal = buffers
         reps.fill(-1)
         units.fill(-2)
         scal.fill(0)
@@ -214,13 +235,16 @@ class WrapDPBatcher:
         factor = 2 if factor <= 2 else TB_FACTOR
         if mode == "counts":
             fused = traceback_counts_batch(moves, reps, units, unit_lens, best, factor)
-            return (chunk, mode, (fused,))
+            return (chunk, mode, (fused,), (b_pad, r_pad, u_pad), buffers)
         fused = traceback_consensus_batch(moves, reps, unit_lens, best, factor)
-        return (chunk, mode, (fused,))
+        return (chunk, mode, (fused,), (b_pad, r_pad, u_pad), buffers)
 
-    def _collect_chunk(self, jobs, chunk, mode, payload) -> None:
+    def _collect_chunk(self, jobs, chunk, mode, payload, shape_key, buffers) -> None:
         with TIMERS.section("dp_traceback"):
             fused = np.asarray(payload[0])
+        # result materialized => the dispatch consumed its inputs; the
+        # padding buffers may now be reused by a later chunk
+        self._free[shape_key].append(buffers)
         if mode == "counts":
             assert fused[: len(chunk), 6].all(), "traceback step bound exceeded"
             for row, idx in enumerate(chunk):
@@ -305,10 +329,20 @@ class HybridDPBatcher:
         small = [j for j in uniq_jobs
                  if (j.qe - j.qs + 1) * len(j.unit) < self.cell_threshold]
         if big:
-            t = threading.Thread(target=self.device._run, args=(big,))
+            err: list = []
+
+            def dev_run():
+                try:
+                    self.device._run(big)
+                except Exception as e:  # re-raised on the caller thread
+                    err.append(e)
+
+            t = threading.Thread(target=dev_run)
             t.start()
             self.host._run(small)
             t.join()
+            if err:
+                raise err[0]
         else:
             self.host._run(small)
         if len(uniq_jobs) != len(jobs):
@@ -745,7 +779,8 @@ def run_file(
         rsl = min_rsl if L < min_rsl * 10 else L // 10
         with TIMERS.section("range"):
             di, di_end, di_w = fill_directional_index_with_end(
-                arena, L, rsl, manhattan=cfg.manhattan_distance
+                arena, L, rsl, manhattan=cfg.manhattan_distance,
+                use_native=cfg.use_native,
             )
         batch.append(ReadState(read, org_eff, di, di_end, di_w))
         if len(batch) >= cfg.reads_per_batch:

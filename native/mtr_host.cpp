@@ -639,7 +639,7 @@ void mtr_dbg_walk_batch(const int32_t* const* orgs, const int64_t* input_lens,
                         int* fwd_found, int* fwd_period, int32_t* fwd_units, int32_t* fwd_scores,
                         int* bwd_found, int* bwd_period, int32_t* bwd_units, int32_t* bwd_scores,
                         int* found_last, int n_threads) {
-    if (n_threads < 1) n_threads = (int)std::thread::hardware_concurrency();
+    if (n_threads < 1) n_threads = std::max(1u, std::thread::hardware_concurrency());
     auto work = [&](int tid) {
         for (int64_t i = tid; i < n; i += n_threads) {
             found_last[i] = mtr_dbg_walk(
@@ -671,7 +671,7 @@ int64_t mtr_dbg_walk_batch2(const int32_t* const* org_table, const int64_t* len_
                             int32_t* found_last,
                             int32_t* units_out, int32_t* scores_out,
                             int64_t cap, int n_threads) {
-    if (n_threads < 1) n_threads = (int)std::thread::hardware_concurrency();
+    if (n_threads < 1) n_threads = std::max(1u, std::thread::hardware_concurrency());
     std::atomic<int64_t> next_row(0);
     auto work = [&](int tid) {
         WalkOut scratch[2];
@@ -754,7 +754,7 @@ void mtr_traceback_counts_batch(const uint8_t* const* moves, const int64_t* u_pa
                                 const int64_t* unit_lens, int64_t n,
                                 int64_t* out5s /* n x 5 */, int64_t* i_finals,
                                 int n_threads) {
-    if (n_threads < 1) n_threads = (int)std::thread::hardware_concurrency();
+    if (n_threads < 1) n_threads = std::max(1u, std::thread::hardware_concurrency());
     auto work = [&](int tid) {
         for (int64_t i = tid; i < n; i += n_threads)
             mtr_traceback_counts(moves[i], u_pads[i], max_is[i], max_js[i],
@@ -940,7 +940,7 @@ void mtr_wrap_dp_batch(const int32_t* const* orgs, const int64_t* qss,
                        const int32_t* modes, int64_t n,
                        int64_t* counts, int64_t* consensus, int64_t* missing,
                        int n_threads) {
-    if (n_threads < 1) n_threads = (int)std::thread::hardware_concurrency();
+    if (n_threads < 1) n_threads = std::max(1u, std::thread::hardware_concurrency());
     auto work = [&](int tid) {
         std::vector<int32_t> Dbuf;
         for (int64_t q = tid; q < n; q += n_threads) {
