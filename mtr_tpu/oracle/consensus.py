@@ -261,6 +261,44 @@ def rebuild_unit_from_consensus(rr: RepeatRecord, consensus, missing) -> None:
     rr.string = decode_bases(revised)
 
 
+def rebuild_units_batch(tmps, results) -> None:
+    """Batched rebuild_unit_from_consensus over many records: one argmax
+    pass over padded (n, U, 5)/(n, U, 4) stacks replaces ~8 small numpy
+    calls per record.  Semantics per record are identical (first-max
+    ties, gap drops the column, min_missing-gated insertions)."""
+    if not tmps:
+        return
+    n = len(tmps)
+    U = max(t.rep_period for t in tmps)
+    C = np.zeros((n, U, 5), np.int64)
+    M = np.zeros((n, U, 4), np.int64)
+    for q, (t, res) in enumerate(zip(tmps, results)):
+        ul = t.rep_period
+        C[q, :ul] = res[0][1 : ul + 1]
+        M[q, :ul] = res[1][1 : ul + 1]
+    mb_all = np.argmax(C, axis=2).tolist()   # first max: ties -> smaller base
+    mv_all = M.max(axis=2).tolist()
+    mm_all = np.argmax(M, axis=2).tolist()
+    for q, t in enumerate(tmps):
+        ul = t.rep_period
+        coverage = t.repeat_len // t.rep_period
+        thr = None
+        if 5 <= coverage <= 20:
+            mismatch_ratio = (
+                t.num_mismatches + t.num_insertions + t.num_deletions
+            ) / t.repeat_len
+            thr = min_missing(t.rep_period, mismatch_ratio, coverage)
+        mb, mv, mm = mb_all[q], mv_all[q], mm_all[q]
+        revised: list[int] = []
+        for j in range(ul):
+            if mb[j] < 4:
+                revised.append(mb[j])
+            if thr is not None and mv[j] >= thr:
+                revised.append(mm[j])
+        t.rep_period = len(revised)
+        t.string = decode_bases(revised)
+
+
 def revise_representative_unit_sub(org, rr: RepeatRecord, mg, mp, ip) -> None:
     """consensus.c:851-1046 — re-align, build column consensus, rebuild
     the unit, and insert significantly-supported missing bases."""

@@ -472,12 +472,13 @@ def _polish_phase(batcher, states, polish_set, cfg) -> None:
             )
             tmps.append(tmp)
         batcher.run(consjobs)
-        # host rebuild, then re-score the revised units
+        # host rebuild (batched argmax), then re-score the revised units
+        from mtr_tpu.oracle.consensus import rebuild_units_batch
+
+        rebuild_units_batch(tmps, [job.result for job in consjobs])
         scorejobs = []
         score_meta = []
         for (q, rr, base_ratio), tmp, job in zip(items, tmps, consjobs):
-            consensus, missing = job.result
-            rebuild_unit_from_consensus(tmp, consensus, missing)
             if tmp.rep_period < MAX_PERIOD:
                 org = states[q.read_idx].org
                 sj = DPJob(org, tmp.rep_start, tmp.rep_end,
