@@ -1,0 +1,48 @@
+"""Cross-engine fuzz: every backend must emit identical records.
+
+Randomized single-TR reads over a spread of unit lengths and error
+rates; the batched host pipeline must byte-match the sequential oracle
+(which is itself golden-verified against the reference binary).  This
+catches engine divergence on inputs no fixture covers.
+"""
+
+import io
+import os
+
+import pytest
+
+from mtr_tpu.config import MTRConfig
+from mtr_tpu.pipeline import run_file
+from mtr_tpu.oracle.pipeline import run_file_oracle
+from mtr_tpu.testutil.rand_seq import write_fasta
+
+
+def _oracle(fasta: str) -> str:
+    out = io.StringIO()
+    for _read, records in run_file_oracle(fasta, MTRConfig()):
+        for rec in records:
+            out.write(rec.format_record() + "\n")
+    return out.getvalue()
+
+
+def _host(fasta: str, reads_per_batch: int) -> str:
+    out = io.StringIO()
+    run_file(fasta, MTRConfig(backend="host", reads_per_batch=reads_per_batch), out)
+    return out.getvalue()
+
+
+@pytest.mark.parametrize(
+    "unit_len,freq,sub,ins,dele,seed",
+    [
+        (3, 20, 5.0, 5.0, 5.0, 101),
+        (17, 8, 1.6, 9.0, 3.8, 202),
+        (59, 10, 9.7, 2.9, 7.5, 303),
+        (211, 6, 2.0, 2.0, 2.0, 404),
+    ],
+)
+def test_host_matches_oracle_fuzz(tmp_path, unit_len, freq, sub, ins, dele, seed):
+    fasta = str(tmp_path / "fuzz.fasta")
+    write_fasta(fasta, str(tmp_path / "u.txt"), unit_len, freq,
+                sub, ins, dele, unit_len * 2, unit_len * 2, 6, seed=seed)
+    # odd batch size exercises cross-batch arena state
+    assert _host(fasta, reads_per_batch=4) == _oracle(fasta)
