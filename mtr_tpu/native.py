@@ -173,7 +173,7 @@ def remove_redundant(di, di_end, input_len, min_jaccard=0.98) -> bool:
 
 
 def fill_di(buf: np.ndarray, org: np.ndarray, L: int, rsl: int,
-            manhattan: bool = True):
+            manhattan: bool = True, l4_cap: int | None = None):
     """Full DI pass for one read (flanks, k/w sweep in Manhattan or
     Pearson mode, extrema pairing, de-shift, redundancy removal) in one
     native call.  Mutates `buf` (the persistent input_w_rand arena) in
@@ -186,8 +186,10 @@ def fill_di(buf: np.ndarray, org: np.ndarray, L: int, rsl: int,
     di = np.empty(di_len, np.float64)
     di_end = np.empty(di_len, np.int64)
     di_w = np.empty(di_len, np.int64)
+    if l4_cap is None:
+        l4_cap = len(buf)
     lib.mtr_fill_di(
-        _ip32(buf), len(buf), _ip32(org), L, rsl, 1 if manhattan else 0,
+        _ip32(buf), l4_cap, _ip32(org), L, rsl, 1 if manhattan else 0,
         _dp(di), _ip64(di_end), _ip64(di_w),
     )
     return di, di_end, di_w

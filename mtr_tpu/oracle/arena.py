@@ -27,7 +27,15 @@ class Arena:
         self.max_input_length = max_input_length
         # malloc'd fresh per file; first touch reads OS-zeroed pages
         self.org_input = np.zeros(max_input_length, dtype=np.int32)
-        self.input_w_rand = np.zeros(max_input_length, dtype=np.int32)
+        # Headroom beyond the reference's 1 Mbp array: the DI pass for a
+        # read of length L touches indices up to ~L + 2*rsl + 3*MAX_WINDOW
+        # (rsl = L/10).  The reference OVERFLOWS (segfaults) for reads
+        # longer than ~833 kbp; with headroom we process every read the
+        # FASTA limit admits.  The l4 random-fill cap stays at
+        # max_input_length so output is bit-identical to the reference
+        # wherever the reference is well-defined.
+        headroom = 2 * (max_input_length // 10) + 4 * 10240
+        self.input_w_rand = np.zeros(max_input_length + headroom, dtype=np.int32)
 
     def load_read(self, codes: np.ndarray) -> None:
         """handle_one_file.c:284-285 — copy codes into the prefix only."""

@@ -239,15 +239,15 @@ def fill_directional_index_with_end(
     """
     L = input_len
     di_len = L + 2 * rsl
-    if di_len > MAX_INPUT_LENGTH:
-        raise ValueError(
-            f"read length {L} with flank {rsl} overflows the reference's "
-            f"1 Mbp DI arrays; reference behavior is undefined here"
-        )
+    # The reference would OVERFLOW its 1 Mbp DI arrays here (it segfaults
+    # on reads longer than ~833 kbp); the arena carries headroom so every
+    # read the FASTA limit admits processes cleanly, with the l4
+    # random-fill cap kept at the reference's array size for parity.
     if di_compute is None and use_native:
         from mtr_tpu import native
 
-        res = native.fill_di(arena.input_w_rand, arena.org_input, L, rsl, manhattan)
+        res = native.fill_di(arena.input_w_rand, arena.org_input, L, rsl,
+                             manhattan, l4_cap=arena.max_input_length)
         if res is not None:
             return res
     di = np.full(di_len, -1.0)

@@ -212,7 +212,10 @@ void mtr_sliding_l1(const int32_t* vals, int64_t n_out, int64_t w, int64_t* D) {
 //     reference uses genrand_int32() % 4 (fill_directional_index.c:131),
 //     identical for unsigned draws.
 // ---------------------------------------------------------------------------
-void mtr_fill_di(int32_t* buf, int64_t buf_len, const int32_t* org,
+void mtr_fill_di(int32_t* buf, int64_t l4_cap /* reference's array size:
+                 caps the random fill exactly like min(L+4rsl, 1 Mbp);
+                 the actual buffer is larger (arena headroom) */,
+                 const int32_t* org,
                  int64_t L, int64_t rsl, int manhattan,
                  double* di, int64_t* di_end, int64_t* di_w) {
     const int64_t di_len = L + 2 * rsl;
@@ -230,7 +233,7 @@ void mtr_fill_di(int32_t* buf, int64_t buf_len, const int32_t* org,
         const int64_t max_w = (k == 1) ? 20 : (k == 3) ? 80 : 10240;
         // --- init_input_w_rand (fill_directional_index.c:137-169) ---
         std::mt19937 mt(0);
-        const int64_t l4 = std::min(L + 4 * rsl, buf_len);
+        const int64_t l4 = std::min(L + 4 * rsl, l4_cap);
         for (int64_t i = 0; i < l4; i++) buf[i] = (int32_t)(mt() & 3u);
         for (int64_t i = 0; i < rsl; i++) buf[i] = (int32_t)(mt() & 3u);
         std::memcpy(buf + rsl, org, (size_t)L * 4);

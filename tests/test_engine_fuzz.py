@@ -46,3 +46,20 @@ def test_host_matches_oracle_fuzz(tmp_path, unit_len, freq, sub, ins, dele, seed
                 sub, ins, dele, unit_len * 2, unit_len * 2, 6, seed=seed)
     # odd batch size exercises cross-batch arena state
     assert _host(fasta, reads_per_batch=4) == _oracle(fasta)
+
+
+@pytest.mark.slow
+def test_long_read_beyond_reference_overflow(tmp_path):
+    """Reads longer than ~833 kbp overflow the reference's 1 Mbp DI
+    arrays (the reference binary segfaults); the arena headroom lets us
+    process every read the FASTA limit admits.  An 800 kbp read (where
+    the reference is well-defined) was verified byte-identical."""
+    fasta = str(tmp_path / "big.fasta")
+    write_fasta(fasta, str(tmp_path / "u.txt"), 100, 10, 1.6, 9.0, 3.8,
+                449500, 449500, 1, seed=5150)
+    out = io.StringIO()
+    run_file(fasta, MTRConfig(backend="host"), out)
+    recs = out.getvalue().splitlines()
+    assert len(recs) > 0
+    # the planted 1 kbp unit-100 repeat must be among the detections
+    assert any("\t100\t" in r for r in recs)
