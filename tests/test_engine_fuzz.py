@@ -59,7 +59,11 @@ def test_long_read_beyond_reference_overflow(tmp_path):
                 449500, 449500, 1, seed=5150)
     out = io.StringIO()
     run_file(fasta, MTRConfig(backend="host"), out)
-    recs = out.getvalue().splitlines()
-    assert len(recs) > 0
-    # the planted 1 kbp unit-100 repeat must be among the detections
-    assert any("\t100\t" in r for r in recs)
+    recs = [r.split("\t") for r in out.getvalue().splitlines()]
+    assert recs
+    # the planted 1 kbp repeat at ~449.5 kbp must be among the detections
+    # (the inferred period may drift a few bases from 100 after polish)
+    assert any(
+        int(f[4]) >= 900 and 448_000 < int(f[2]) < 451_000 and 90 <= int(f[5]) <= 110
+        for f in recs
+    )
