@@ -21,3 +21,45 @@ Layering (top to bottom):
 __version__ = "0.1.0"
 
 from mtr_tpu.config import MTRConfig  # noqa: F401
+
+
+def find_repeats(sequences, config: "MTRConfig | None" = None):
+    """Programmatic entry point: detect tandem repeats in sequences.
+
+    sequences: a str/bytes DNA sequence, or an iterable of them (or of
+    (read_id, sequence) pairs).  Returns a list of per-read lists of
+    RepeatRecord — fields mirror the reference's output record
+    (mTR.h:99-119) plus the unit string.  Semantics are identical to
+    running the CLI on a FASTA with the same reads in the same order.
+    """
+    import io
+    import tempfile
+    import os
+
+    if isinstance(sequences, (str, bytes)):
+        sequences = [sequences]
+    cfg = config or MTRConfig()
+    from mtr_tpu.pipeline import run_file
+
+    order: list[str] = []
+    with tempfile.NamedTemporaryFile("w", suffix=".fasta", delete=False) as f:
+        path = f.name
+        for idx, item in enumerate(sequences):
+            if isinstance(item, tuple):
+                rid, seq = item
+            else:
+                rid, seq = str(idx), item
+            if isinstance(seq, bytes):
+                seq = seq.decode()
+            order.append(rid)
+            f.write(f">{rid}\n{seq}\n")
+    try:
+        per_read: dict[str, list] = {rid: [] for rid in order}
+
+        def sink(rec):
+            per_read[rec.read_id].append(rec)
+
+        run_file(path, cfg, io.StringIO(), record_sink=sink)
+        return [per_read[rid] for rid in order]
+    finally:
+        os.unlink(path)

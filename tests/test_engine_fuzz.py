@@ -67,3 +67,16 @@ def test_long_read_beyond_reference_overflow(tmp_path):
         int(f[4]) >= 900 and 448_000 < int(f[2]) < 451_000 and 90 <= int(f[5]) <= 110
         for f in recs
     )
+
+
+def test_find_repeats_api():
+    """Library entry point mirrors the CLI (verified against the
+    reference binary on the same input)."""
+    import mtr_tpu
+
+    seq = "ACGT" * 50 + "GATTACA" * 30 + "TTGCA" * 40
+    res = mtr_tpu.find_repeats([("myread", seq), ("norep", "ACGTTGCAAT" * 20)])
+    assert len(res) == 2
+    assert [r.string for r in res[0]] == ["GATTACA"]
+    assert res[0][0].rep_start + 1 == 201 and res[0][0].rep_end + 1 == 410
+    assert res[1] == []
