@@ -10,6 +10,8 @@ reuse) that single-read fixtures cannot.
 """
 
 import io
+
+import pytest
 import os
 
 from mtr_tpu.config import MTRConfig
@@ -62,4 +64,18 @@ def test_alignment_print_parity():
         out,
     )
     with open(f"{GOLDEN}/3_5_alignment.out") as f:
+        assert out.getvalue() == f.read()
+
+
+@pytest.mark.parametrize("name", ["worm_chrI", "worm_chrII_1", "worm_chrII_2"])
+def test_real_nanopore_host_parity(name):
+    """Real C. elegans Nanopore reads (92-140 kbp) through the batched
+    host pipeline must byte-match the reference binary's goldens."""
+    out = io.StringIO()
+    run_file(
+        f"/root/reference/test_multiple_TRs/data/{name}.fasta",
+        MTRConfig(backend="host"),
+        out,
+    )
+    with open(f"{GOLDEN}/{name}.out") as f:
         assert out.getvalue() == f.read()
