@@ -411,21 +411,36 @@ class ReadState:
 def _wrap_dp_schemes(batcher, queries_with_candidates) -> None:
     """Phase 3+4a: batched wrap_around_DP (both schemes) for every walk
     candidate; per candidate keep the higher-ratio scheme
-    (wrap_around_DP.c:357-429)."""
+    (wrap_around_DP.c:357-429).
+
+    Candidates are deduplicated by (read, range, unit) BEFORE job
+    construction — different k values routinely discover the same unit,
+    and the DP + scheme selection depend only on this key — so each
+    unique candidate builds one job pair and runs one selection."""
     dpjobs: list[DPJob] = []
-    meta: list[tuple[RangeQuery, RepeatRecord]] = []
+    uniq: dict = {}           # key -> index into selections
+    sel_jobs: list = []       # per unique key: (job113, job131)
+    meta: list = []           # per candidate: (cand, uniq_idx)
     for q, org_arr in queries_with_candidates:
         for cand in q.candidates:
             unit = _encode_unit(cand.string)
-            for scheme in ((1, 1, 3), (1, 3, 1)):
-                dpjobs.append(DPJob(org_arr, q.qs, q.qe, unit, scheme))
-            meta.append((q, cand))
+            key = (id(org_arr), q.qs, q.qe, cand.string)
+            ui = uniq.get(key)
+            if ui is None:
+                ui = len(sel_jobs)
+                uniq[key] = ui
+                j113 = DPJob(org_arr, q.qs, q.qe, unit, (1, 1, 3))
+                j131 = DPJob(org_arr, q.qs, q.qe, unit, (1, 3, 1))
+                dpjobs.append(j113)
+                dpjobs.append(j131)
+                sel_jobs.append((j113, j131))
+            meta.append((cand, ui))
     batcher.run(dpjobs)
     f32 = np.float32
-    for i, (q, cand) in enumerate(meta):
-        job113, job131 = dpjobs[2 * i], dpjobs[2 * i + 1]
-        # ratio from raw counts (float32, NaN on 0/0 — C semantics),
-        # then a single record copy for the winning scheme
+    # one scheme selection per unique candidate
+    winners: list = []
+    for job113, job131 in sel_jobs:
+        # ratio from raw counts (float32, NaN on 0/0 — C semantics)
         best_job = None
         best_ratio = -1.0
         for job in (job113, job131):
@@ -435,8 +450,12 @@ def _wrap_dp_schemes(batcher, queries_with_candidates) -> None:
             if ratio_less(best_ratio, r):
                 best_job = job
                 best_ratio = r
+        winners.append(best_job)
+    empty = RepeatRecord()
+    for cand, ui in meta:
+        best_job = winners[ui]
         if best_job is None:
-            _assign(cand, RepeatRecord())
+            _assign(cand, empty)
         else:
             # apply_counts touches exactly the fields set_rr would copy
             # from a counts-updated clone, so write cand directly
