@@ -17,13 +17,15 @@ there is no Lloyd k-means):
   5. emit records sorted by (-group_freq, group_root_id).
 
 The pairwise Manhattan distances in step 4 are computed as one batched
-|a-b| reduction over the (G, 16) histogram matrix — on device when a
-JAX backend is initialized and the group count is large.
+|a-b| reduction over the (G, 16) histogram matrix — on device (jitted,
+see _near_matrix_device) when a JAX backend is usable and the group
+count exceeds _DEVICE_MIN_GROUPS, else in NumPy.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import numpy as np
 
@@ -32,6 +34,48 @@ from mtr_tpu.records import RepeatRecord
 MH_DISTANCE_THRESHOLD = 0.3   # chaining.cpp:39 / k_means_clustering.c:176
 MIN_NUM_REP_TR = 2            # minimum group size for a representative
 MIN_REP_LEN = 10              # qualification span threshold
+
+# below this the host<->device transfer dwarfs the O(G^2 * 16) reduction
+_DEVICE_MIN_GROUPS = 2048
+
+
+@functools.lru_cache(maxsize=1)
+def _device_near_fn():
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def near(hists, periods):
+        # (G, G) Manhattan distances over 2-mer histograms + the
+        # reference's <=10% unit-length gate (k_means_clustering.c:169-180);
+        # both gates in exact integer arithmetic (d <= 0.1p <=> 10d <= p
+        # for the value ranges here) so host and device agree bit-for-bit
+        dist = jnp.abs(hists[:, None, :] - hists[None, :, :]).sum(axis=2)
+        len_ok = 10 * jnp.abs(periods[:, None] - periods[None, :]) <= (
+            periods[:, None]
+        )
+        return (10 * dist <= 3 * periods[:, None]) & len_ok
+
+    return near
+
+
+def _near_matrix(hists: np.ndarray, periods: np.ndarray) -> np.ndarray:
+    """Pairwise merge-eligibility matrix; device-backed for large G."""
+    n = len(hists)
+    if n >= _DEVICE_MIN_GROUPS:
+        try:
+            return np.asarray(
+                _device_near_fn()(
+                    hists.astype(np.int32), periods.astype(np.int32)
+                )
+            )
+        except Exception:
+            pass  # no usable backend: fall through to numpy
+    dist = np.abs(hists[:, None, :] - hists[None, :, :]).sum(axis=2)
+    len_ok = 10 * np.abs(periods[:, None] - periods[None, :]) <= (
+        periods[:, None]
+    )
+    return (10 * dist <= 3 * periods[:, None]) & len_ok
 
 
 @dataclasses.dataclass
@@ -95,9 +139,7 @@ def cluster_repeats(
     )
     freqs = np.array([g["freq"] for g in groups])
     n = len(groups)
-    dist = np.abs(hists[:, None, :] - hists[None, :, :]).sum(axis=2)
-    len_ok = np.abs(periods[:, None] - periods[None, :]) <= (periods[:, None] * 0.1)
-    near = (dist <= MH_DISTANCE_THRESHOLD * periods[:, None]) & len_ok
+    near = _near_matrix(hists, periods)
 
     parent = np.arange(n)
     for i in range(n):

@@ -65,16 +65,25 @@ def _load():
     if _TRIED:
         return _LIB
     _TRIED = True
-    if not os.path.exists(_SO):
-        src = os.path.join(_HERE, "native", "mtr_host.cpp")
+    src = os.path.join(_HERE, "native", "mtr_host.cpp")
+    # always build from source: a stale .so silently diverging from
+    # mtr_host.cpp would poison parity, so rebuild whenever the source is
+    # newer than the library (the .so is never committed — .gitignore)
+    stale = (
+        os.path.exists(_SO)
+        and os.path.exists(src)
+        and os.path.getmtime(src) > os.path.getmtime(_SO)
+    )
+    if not os.path.exists(_SO) or stale:
         if os.path.exists(src):
             try:
                 subprocess.run(
-                    ["make", "-C", os.path.join(_HERE, "native")],
+                    ["make", "-C", os.path.join(_HERE, "native"), "-B"],
                     check=True, capture_output=True, timeout=120,
                 )
             except Exception:
-                return None
+                if not os.path.exists(_SO):
+                    return None
     if not os.path.exists(_SO):
         return None
     lib = ct.CDLL(_SO)

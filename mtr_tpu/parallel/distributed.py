@@ -55,13 +55,16 @@ def run_file_sharded(
     from mtr_tpu.io.fasta import iter_fasta
     from mtr_tpu.oracle.arena import Arena
     from mtr_tpu.oracle.directional_index import fill_directional_index_with_end
-    from mtr_tpu.pipeline import WrapDPBatcher, ReadState, process_batch
+    from mtr_tpu.pipeline import ReadState, make_batcher, process_batch
 
     if process_index is None or process_count is None:
         process_index, process_count = init_distributed()
 
     arena = Arena(cfg.max_input_length)
-    batcher = WrapDPBatcher()
+    # honor cfg.backend exactly like the single-process path — a
+    # multi-host run on hosts without usable devices must still be able
+    # to use the host/hybrid engines
+    batcher = make_batcher(cfg)
     batch: list[ReadState] = []
     batch_rids: list[int] = []
     out_f = open(f"{out_path_prefix}.part{process_index}", "w")

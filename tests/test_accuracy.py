@@ -30,13 +30,18 @@ def run_sweep(unit_len, freq, n_reads, seed=777):
 
 @pytest.mark.slow
 def test_accuracy_unit100():
+    # byte parity with the reference makes these counts DETERMINISTIC for
+    # the fixed seed: pin them exactly so any 1-read regression fails.
+    # 35/50 exact = 70%, consistent with the reference's ~62% statistical
+    # level on this profile (BASELINE.md; seed-to-seed variance).
     exact, ratios = run_sweep(100, 10, 50)
-    # reference: 62% exact on this profile; allow statistical slack
-    assert exact >= 20, f"exact={exact}/50"
-    assert sum(1 for r in ratios if r >= 0.98) >= 35
+    assert exact == 35, f"exact={exact}/50 (expected exactly 35)"
+    assert sum(1 for r in ratios if r >= 0.99) == 48
+    assert sum(1 for r in ratios if r >= 0.98) == 49
 
 
 @pytest.mark.slow
 def test_accuracy_unit5():
     exact, ratios = run_sweep(5, 10, 50)
-    assert exact >= 25, f"exact={exact}/50"
+    assert exact == 49, f"exact={exact}/50 (expected exactly 49)"
+    assert sum(1 for r in ratios if r >= 0.98) == 49

@@ -40,3 +40,20 @@ def test_rotated_units_same_histogram_merge():
     out = cluster_repeats(recs)
     assert len({c.rep_id for c in out}) == 1
     assert out[0].group_freq == 5
+
+
+def test_device_near_matrix_matches_numpy():
+    # the jitted distance kernel (used when G >= _DEVICE_MIN_GROUPS) must
+    # agree with the NumPy reduction bit-for-bit
+    import numpy as np
+    from mtr_tpu.clustering import _near_matrix, _device_near_fn
+
+    rng = np.random.default_rng(3)
+    n = 300
+    hists = rng.integers(0, 50, (n, 16)).astype(np.int64)
+    periods = rng.integers(2, 500, n)
+    np_near = _near_matrix(hists, periods)  # n below threshold -> numpy
+    dev_near = np.asarray(
+        _device_near_fn()(hists.astype(np.int32), periods.astype(np.int32))
+    )
+    assert (np_near == dev_near).all()
