@@ -41,6 +41,11 @@ class MTRConfig:
     backend: str = "auto"     # "oracle" | "device" | "host" | "hybrid" | "auto"
     reads_per_batch: int = 64  # device pipeline batching granularity
     use_native: bool = True    # use the C++ host runtime when available
+    # reads at least this long compute their DI passes on device when
+    # backend == "device" (the sliding histograms dominate long reads;
+    # short reads lose to dispatch latency)
+    device_di_threshold: int = 65_536
+    pipeline_depth: int = 2    # read batches in flight (overlaps device pulls)
 
     def k_sweep(self, w: int) -> range:
         """k-mer range for the DBG sweep, by detected window width.

@@ -19,10 +19,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from mtr_tpu.ops.wrap_dp_pallas import (
-    make_wrap_dp_pallas,
-    traceback_counts_batch,
-)
+from mtr_tpu.ops.wrap_dp_fused import make_wrap_dp_fused
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
@@ -39,12 +36,11 @@ def sharded_wrap_dp_step(mesh: Mesh, b: int, u_pad: int, r_pad: int, axis: str =
     assert b % n_dev == 0, "batch must divide the dp axis"
     local_b = b // n_dev
     interpret = jax.default_backend() == "cpu"
-    fill = make_wrap_dp_pallas(local_b, u_pad, r_pad, interpret=interpret)
+    fused = make_wrap_dp_fused(local_b, u_pad, r_pad, interpret=interpret)
 
     def local_step(scal, rep, unit):
-        moves, best = fill(scal, rep, unit)
-        counts = traceback_counts_batch(moves, rep, unit, scal[:, 1], best)
-        return counts, best
+        counts = fused(scal, rep, unit)
+        return counts, counts[:, 7:]
 
     spec = P(axis)
     fn = shard_map(

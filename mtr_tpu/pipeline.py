@@ -22,6 +22,7 @@ acceptance order afterwards yields byte-identical output.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 import time
 from collections import defaultdict
@@ -55,14 +56,23 @@ from mtr_tpu.oracle.consensus import polish_repeat, rebuild_unit_from_consensus
 import os as _os
 
 R_BUCKETS = (4096, 32768, 262144, 1048576)
-# MTR_TPU_MIN_PROGRAMS collapses the unit buckets so a whole workload
-# runs on ONE fill program per r-bucket (the axon terminal's program
-# load cost makes extra shapes expensive; bench mode sets this)
+# Counts-mode jobs run on the FUSED kernel (ops/wrap_dp_fused.py): one
+# program per (u, r) bucket, no move tensor, no traceback program.  The
+# unit rides the SUBLANE dim there, so small-unit buckets are cheap —
+# a u_pad=8 chunk does 16x less VPU work per row than u_pad=128.
+# MTR_TPU_MIN_PROGRAMS coarsens the set (proxied backends pay a large
+# per-program first-execution cost; bench mode sets this).
+U_BUCKETS_FUSED = (
+    (128, 512) if _os.environ.get("MTR_TPU_MIN_PROGRAMS")
+    else (8, 32, 128, 512)
+)
+# batch rides the LANE dim in the fused kernel; B*u_pad bounds VMEM
+# (4 persistent planes + ~12 live temporaries per row step).
+B_FUSED = {8: 4096, 32: 2048, 128: 1024, 512: 256}
+# Consensus-mode (polish) jobs keep the move-tensor + device-traceback
+# path: their per-column consensus/missing matrices cannot ride the
+# fused argmax propagation, and they are a small minority of jobs.
 U_BUCKETS = (512,) if _os.environ.get("MTR_TPU_MIN_PROGRAMS") else (128, 512)
-# batch rides the sublane dim; the kernel keeps ~12 live (B, u_pad)
-# int32 vectors, so B*u_pad is VMEM-bounded.  Bigger B = fewer chunks;
-# the device traceback cost is per-chunk (serial loop length r_pad*f),
-# so chunk count is the throughput lever on high-latency backends.
 B_FOR_U = {128: 1024, 512: 256}
 MOVES_BYTES_CAP = 1 << 30  # cap per-dispatch move-tensor footprint
 TB_FACTOR = 6  # one traceback bound for every scheme -> one program
@@ -91,6 +101,13 @@ def _bucket(v: int, buckets) -> int:
         if v <= b:
             return b
     return buckets[-1]
+
+
+@functools.lru_cache(maxsize=1)
+def _cpu_backend() -> bool:
+    import jax
+
+    return jax.default_backend() == "cpu"
 
 
 def dedup_jobs(jobs: list["DPJob"]) -> tuple[list["DPJob"], list[int]]:
@@ -164,14 +181,18 @@ class WrapDPBatcher:
         groups: dict[tuple[int, int, str], list[int]] = defaultdict(list)
         for idx, job in enumerate(jobs):
             rep_len = job.qe - job.qs + 1
+            ubuckets = U_BUCKETS if job.mode == "consensus" else U_BUCKETS_FUSED
             r_pad = _bucket(rep_len, R_BUCKETS)
-            u_pad = _bucket(len(job.unit), U_BUCKETS)
+            u_pad = _bucket(len(job.unit), ubuckets)
             groups[(r_pad, u_pad, job.mode)].append(idx)
 
         pending = []
         for (r_pad, u_pad, mode), idxs in sorted(groups.items()):
-            cap = max(1, MOVES_BYTES_CAP // ((r_pad + 1) * u_pad))
-            cap = min(cap, B_FOR_U[u_pad])
+            if mode == "consensus":
+                cap = max(1, MOVES_BYTES_CAP // ((r_pad + 1) * u_pad))
+                cap = min(cap, B_FOR_U[u_pad])
+            else:
+                cap = B_FUSED[u_pad]
             idxs.sort(key=lambda i: jobs[i].qe - jobs[i].qs)
             for lo in range(0, len(idxs), cap):
                 chunk = idxs[lo : lo + cap]
@@ -193,14 +214,16 @@ class WrapDPBatcher:
     def _dispatch_chunk(self, jobs, chunk, r_pad, u_pad, mode):
         from mtr_tpu.ops.wrap_dp_pallas import (
             get_wrap_dp_pallas,
-            traceback_counts_batch,
             traceback_consensus_batch,
         )
-
-        from mtr_tpu import native
+        from mtr_tpu.ops.wrap_dp_fused import get_wrap_dp_fused, fused_limits
 
         n = len(chunk)
-        b_pad = B_FOR_U[u_pad]
+        b_pad = B_FOR_U[u_pad] if mode == "consensus" else B_FUSED[u_pad]
+        if _cpu_backend():
+            # interpret-mode cost scales with b_pad regardless of chunk
+            # fill; shrink to the chunk (tests / CPU fallback only)
+            b_pad = min(b_pad, max(128, 1 << (max(n, 1) - 1).bit_length()))
         # pooled per shape via a freelist: fresh per-chunk np.full buffers
         # would pay the lazy-memory first-touch cost (see native._BufPool),
         # and shape-keyed reuse alone would race in-flight dispatches
@@ -221,6 +244,21 @@ class WrapDPBatcher:
             scal[row, 0] = rep_len
             scal[row, 1] = len(job.unit)
             scal[row, 2:5] = job.scheme
+        if mode == "counts":
+            # fused fill+counts kernel: one dispatch, no move tensor
+            limit = min(fused_limits(u_pad))
+            peak = int(
+                (scal[:, 0] * scal[:, 2] + scal[:, 4] * u_pad).max()
+            )
+            assert peak < limit, (
+                f"job exceeds fused packing bound: {peak} >= {limit}"
+            )
+            fn = get_wrap_dp_fused(b_pad, u_pad, r_pad)
+            with TIMERS.section("dp_fill"):
+                fused = fn(scal, reps, units)
+            TIMERS.count("dp_jobs", len(chunk))
+            TIMERS.count("dp_chunks")
+            return (chunk, mode, (fused,), (b_pad, r_pad, u_pad), buffers)
         fn = get_wrap_dp_pallas(b_pad, u_pad, r_pad)
         with TIMERS.section("dp_fill"):
             moves, best = fn(scal, reps, units)
@@ -233,9 +271,6 @@ class WrapDPBatcher:
             -(-jobs[i].scheme[0] // jobs[i].scheme[2]) for i in chunk
         )
         factor = 2 if factor <= 2 else TB_FACTOR
-        if mode == "counts":
-            fused = traceback_counts_batch(moves, reps, units, unit_lens, best, factor)
-            return (chunk, mode, (fused,), (b_pad, r_pad, u_pad), buffers)
         fused = traceback_consensus_batch(moves, reps, unit_lens, best, factor)
         return (chunk, mode, (fused,), (b_pad, r_pad, u_pad), buffers)
 
@@ -797,10 +832,24 @@ def run_file(
         L = read.length
         org_eff = arena.org_input[: L + 1].copy()
         rsl = min_rsl if L < min_rsl * 10 else L // 10
+        di_compute = None
+        if cfg.backend == "device" and L >= cfg.device_di_threshold:
+            # long reads compute the DI sweep on device (the sliding
+            # histograms dominate their runtime); pairing/redundancy
+            # stay host-sequential for parity
+            from mtr_tpu.ops.directional_index import (
+                di_manhattan_device,
+                di_pearson_device,
+            )
+
+            di_compute = (
+                di_manhattan_device if cfg.manhattan_distance
+                else di_pearson_device
+            )
         with TIMERS.section("range"):
             di, di_end, di_w = fill_directional_index_with_end(
                 arena, L, rsl, manhattan=cfg.manhattan_distance,
-                use_native=cfg.use_native,
+                di_compute=di_compute, use_native=cfg.use_native,
             )
         batch.append(ReadState(read, org_eff, di, di_end, di_w))
         if len(batch) >= cfg.reads_per_batch:
