@@ -46,6 +46,9 @@ class MTRConfig:
     # short reads lose to dispatch latency)
     device_di_threshold: int = 65_536
     pipeline_depth: int = 2    # read batches in flight (overlaps device pulls)
+    # backend == "device" runs DBG k-mer counting + greedy walks on
+    # device (ops/dbg_device.py); per-query host fallback keeps parity
+    use_device_walks: bool = True
 
     def k_sweep(self, w: int) -> range:
         """k-mer range for the DBG sweep, by detected window width.

@@ -596,12 +596,24 @@ def process_batch(states: list[ReadState], batcher: WrapDPBatcher, cfg: MTRConfi
     queries: list[RangeQuery] = []  # materialized for walk hits only
 
     _t_walk = time.time()
-    if cfg.use_native and native.available() and n_q:
-        res = native.dbg_walk_batch2(
-            [st.org for st in states],
-            [st.read.length for st in states],
-            ridx_a, qs_a, qe_a, k_a,
-        )
+    use_dev_walks = (
+        cfg.backend == "device" and cfg.use_device_walks and n_q > 0
+    )
+    if use_dev_walks or (cfg.use_native and native.available() and n_q):
+        if use_dev_walks:
+            from mtr_tpu.ops.dbg_device import dbg_walk_device_batch
+
+            res = dbg_walk_device_batch(
+                [st.org for st in states],
+                [st.read.length for st in states],
+                ridx_a, qs_a, qe_a, k_a,
+            )
+        else:
+            res = native.dbg_walk_batch2(
+                [st.org for st in states],
+                [st.read.length for st in states],
+                ridx_a, qs_a, qe_a, k_a,
+            )
         frow, brow = res["fwd_row"], res["bwd_row"]
         units_rows, scores_rows = res["units"], res["scores"]
         unit_cache: dict = {}  # unit bytes -> (string, freq_2mer)
