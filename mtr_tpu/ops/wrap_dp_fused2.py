@@ -1,0 +1,304 @@
+"""Fused wrap-around-DP kernel v2: lane-oriented layout, gather-based
+traceback-count propagation.
+
+Computes the identical function to ops/wrap_dp_fused.py (fill + traceback
+counts of wrap_around_DP.c:222-354, precedence match > mismatch >
+deletion > insertion evaluated on final cell values) but restructured for
+VPU latency, which dominates the row loop on real hardware:
+
+  * Layout is (B, 128): jobs ride the SUBLANE dim and the unit the LANE
+    dim.  With the unit confined to one 128-lane vreg span, Mosaic's
+    `tpu.dynamic_gather` is legal along the unit axis, so every
+    "read a per-job column" operation (wrap column, deletion-chain
+    origin, argmax payload) is ONE gather instead of a packed scan or a
+    masked one-hot reduction.
+  * The in-row deletion chain for VALUES is a flag-carrying segmented
+    Kogge-Stone max-scan (7 levels).  No BIG/K integer packing, hence no
+    rep_len*MG bound: any scheme fits.
+  * The deletion-chain COPY for aux planes (m / ins / start-row) is one
+    origin-index scan (nearest non-deletion cell to the left) plus three
+    lane gathers.  v1 needed three packed scans.
+  * No per-row reductions: the running argmax
+    (wrap_around_DP.c:276-281, first strictly-greater cell in row-major
+    order) is tracked per (job, lane) — value, first row, aux payload —
+    with 7 parallel selects per row, and resolved to the row-major-first
+    cell once at the end: lanes tied at the global max are broken by
+    smallest row, then smallest lane, exactly reproducing the scalar
+    scan order.
+  * rep codes stream as int8 blocks ((B, r_tile) per grid step), 4x less
+    host->device traffic than v1's int32 rows.
+
+Interface matches make_wrap_dp_fused: fn(scal, rep, unit) -> (B, 15)
+int32 [m, x, ins, del, scanned, i_final, done | wrap, best, max_i,
+max_j, m, ins, si, 0].  Restricted to unit_len <= 128 (the batcher
+routes u_pad > 128 buckets to v1).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+U_PAD = 128
+NEG = -(1 << 30)
+
+
+def _take(plane, idx):
+    """Per-job gather along the unit (lane) axis: plane[b, idx[b, j]]."""
+    return jnp.take_along_axis(plane, idx, axis=1)
+
+
+def _fused2_kernel(b: int, r_tile: int):
+    def kernel(scal_ref, rep_ref, unit_ref, out_ref,
+               prev_ref, auxm_ref, auxi_ref, auxs_ref,
+               bv_ref, bi_ref, bm_ref, bins_ref, bsi_ref):
+        rt = pl.program_id(0)
+        n_rt = pl.num_programs(0)
+
+        rep_len = scal_ref[:, 0:1]                  # (B, 1)
+        unit_len = scal_ref[:, 1:2]
+        mg = scal_ref[:, 2:3]
+        mp = scal_ref[:, 3:4]
+        ip = scal_ref[:, 4:5]
+
+        jidx = jax.lax.broadcasted_iota(jnp.int32, (b, U_PAD), 1)
+        zero = jnp.zeros((b, U_PAD), jnp.int32)
+        # per-job planes, broadcast along lanes (recomputed per grid
+        # step: a handful of ops per r_tile rows)
+        ulm1 = jnp.maximum(unit_len - 1, 0) + zero  # gather index plane
+        mg_p = mg + zero
+        mp_p = mp + zero
+        ip_p = ip + zero
+        ipj = ip * jidx
+        sub_ok = jidx < unit_len                    # bool (B, U)
+        j0 = jidx == 0
+        notj0 = jnp.logical_not(j0)
+        unit = unit_ref[...].astype(jnp.int32)
+        rep_blk = rep_ref[...].astype(jnp.int32)    # (B, r_tile)
+        base = rt * r_tile
+        max_rep_len = jnp.max(rep_len)
+
+        @pl.when(rt == 0)
+        def _():
+            prev_ref[...] = zero
+            auxm_ref[...] = zero
+            auxi_ref[...] = zero
+            auxs_ref[...] = zero
+            bv_ref[...] = zero
+            bi_ref[...] = zero
+            bm_ref[...] = zero
+            bins_ref[...] = zero
+            bsi_ref[...] = zero
+
+        @pl.when(base < max_rep_len)
+        def _():
+            def row_step(r, _):
+                i = base + r + 1                    # 1-origin DP row
+                prev = prev_ref[...]
+                rep_c = _take(rep_blk, zero + r)    # (B, U) bcast of rep[i]
+                mi = unit == rep_c
+                wrapv = _take(prev, ulm1)           # prev row last column
+                diag = jnp.where(j0, wrapv, pltpu.roll(prev, 1, axis=1))
+                m_nm = jnp.maximum(
+                    zero, jnp.maximum(diag - mp_p, prev - ip_p)
+                )
+                m = jnp.where(mi, diag + mg_p, m_nm)
+
+                # --- value deletion chain: segmented KS max-scan of
+                # t = m + ip*j, segments reset at match cells and j==0 ---
+                t = m + ipj
+                # flag rides int32: Mosaic cannot rotate i1 vectors
+                fi = jnp.logical_or(mi, j0).astype(jnp.int32)
+                for s in range(7):
+                    sh = 1 << s
+                    edge = jidx < sh
+                    t_r = jnp.where(edge, NEG, pltpu.roll(t, sh, axis=1))
+                    f_r = jnp.where(edge, 1, pltpu.roll(fi, sh, axis=1))
+                    t = jnp.where(fi > 0, t, jnp.maximum(t, t_r))
+                    fi = fi | f_r
+                chain = t - ipj
+                row = jnp.where(mi, m, chain)
+                ok = jnp.logical_and(sub_ok, i <= rep_len)
+                row = jnp.where(ok, row, zero)
+
+                # --- traceback-precedence source selection on final
+                # values (wrap_around_DP.c:294-333) ---
+                pos = jnp.logical_and(row > 0, ok)
+                is_m = jnp.logical_and(mi, pos)
+                e2v = row == diag - mp_p
+                not_mi = jnp.logical_not(mi)
+                sel_x = jnp.logical_and(jnp.logical_and(not_mi, e2v), pos)
+                rem = jnp.logical_and(
+                    jnp.logical_and(pos, not_mi), jnp.logical_not(e2v)
+                )
+                left = jnp.where(
+                    j0, _take(row, ulm1), pltpu.roll(row, 1, axis=1)
+                )
+                e3v = row == left - ip_p
+                sel_d = jnp.logical_and(rem, e3v)
+                sel_diag = jnp.logical_or(is_m, sel_x)
+
+                # --- aux base from diag/up predecessors ---
+                auxm = auxm_ref[...]
+                auxi = auxi_ref[...]
+                auxs = auxs_ref[...]
+                wa_m = _take(auxm, ulm1)
+                wa_i = _take(auxi, ulm1)
+                wa_s = _take(auxs, ulm1)
+                daux_m = jnp.where(j0, wa_m, pltpu.roll(auxm, 1, axis=1))
+                daux_i = jnp.where(j0, wa_i, pltpu.roll(auxi, 1, axis=1))
+                daux_s = jnp.where(j0, wa_s, pltpu.roll(auxs, 1, axis=1))
+                mi_i = mi.astype(jnp.int32)
+                base_m = jnp.where(
+                    sel_diag, daux_m + mi_i,
+                    jnp.where(pos, auxm, zero)  # sel_i or sel_d (ignored)
+                )
+                base_i = jnp.where(
+                    sel_diag, daux_i, jnp.where(pos, auxi + 1, zero)
+                )
+                base_s = jnp.where(
+                    sel_diag, daux_s,
+                    jnp.where(pos, auxs, zero + i)  # value-0 cells: start=i
+                )
+
+                # --- deletion-chain copy: nearest non-deletion origin ---
+                org = jnp.where(sel_d, -1, jidx)
+                for s in range(7):
+                    sh = 1 << s
+                    edge = jidx < sh
+                    org = jnp.maximum(
+                        org, jnp.where(edge, -1, pltpu.roll(org, sh, axis=1))
+                    )
+                open_ = org < 0
+                orgc = jnp.maximum(org, 0)
+                pay_m = _take(base_m, orgc)
+                pay_i = _take(base_i, orgc)
+                pay_s = _take(base_s, orgc)
+                # last valid column is provably chain-free; wrapped lanes
+                # chain into the SAME row's last column
+                org_last = _take(orgc, ulm1)
+                fin_m = jnp.where(open_, _take(base_m, org_last), pay_m)
+                fin_i = jnp.where(open_, _take(base_i, org_last), pay_i)
+                fin_s = jnp.where(open_, _take(base_s, org_last), pay_s)
+
+                # --- per-(job, lane) argmax tracking: strict >, so the
+                # FIRST row achieving a lane's max is kept ---
+                better = row > bv_ref[...]
+                bv_ref[...] = jnp.where(better, row, bv_ref[...])
+                bi_ref[...] = jnp.where(better, zero + i, bi_ref[...])
+                bm_ref[...] = jnp.where(better, fin_m, bm_ref[...])
+                bins_ref[...] = jnp.where(better, fin_i, bins_ref[...])
+                bsi_ref[...] = jnp.where(better, fin_s, bsi_ref[...])
+
+                prev_ref[...] = row
+                auxm_ref[...] = fin_m
+                auxi_ref[...] = fin_i
+                auxs_ref[...] = fin_s
+                return 0
+
+            rows = jnp.minimum(max_rep_len - base, r_tile)
+            jax.lax.fori_loop(0, rows, row_step, 0)
+
+        @pl.when(rt == n_rt - 1)
+        def _():
+            # resolve the row-major-first global argmax: max value, then
+            # smallest row, then smallest lane
+            bv = bv_ref[...]
+            bi = bi_ref[...]
+            jidx2 = jax.lax.broadcasted_iota(jnp.int32, (b, U_PAD), 1)
+            gmax = jnp.max(bv, axis=1, keepdims=True)          # (B, 1)
+            cand = bv == gmax
+            big = jnp.int32(1 << 30)
+            bi_m = jnp.where(cand, bi, big)
+            min_bi = jnp.min(bi_m, axis=1, keepdims=True)
+            cand2 = jnp.logical_and(cand, bi == min_bi)
+            j_m = jnp.where(cand2, jidx2, big)
+            jstar = jnp.min(j_m, axis=1, keepdims=True)        # (B, 1)
+            found = gmax > 0
+            # Mosaic's dynamic_gather needs full-plane indices: broadcast,
+            # gather, then take lane 0 (all lanes identical)
+            jstar_p = jstar + jnp.zeros((b, U_PAD), jnp.int32)
+            arg_m = jnp.take_along_axis(bm_ref[...], jstar_p, axis=1)[:, 0:1]
+            arg_i = jnp.take_along_axis(bins_ref[...], jstar_p, axis=1)[:, 0:1]
+            arg_s = jnp.take_along_axis(bsi_ref[...], jstar_p, axis=1)[:, 0:1]
+            max_i = jnp.where(found, min_bi, 0)
+            max_j = jnp.where(found, jstar + 1, 0)
+            ulm1b = (jnp.maximum(scal_ref[:, 1:2] - 1, 0)
+                     + jnp.zeros((b, U_PAD), jnp.int32))
+            wrap_val = jnp.take_along_axis(prev_ref[...], ulm1b, axis=1)[:, 0:1]
+            zcol = jnp.zeros((b, 1), jnp.int32)
+            out_ref[...] = jnp.concatenate(
+                [wrap_val, gmax, max_i, max_j,
+                 jnp.where(found, arg_m, 0),
+                 jnp.where(found, arg_i, 0),
+                 jnp.where(found, arg_s, 0),
+                 zcol] + [zcol] * 8,
+                axis=1,
+            )
+
+    return kernel
+
+
+def make_wrap_dp_fused2(b: int, r_pad: int, interpret: bool = False,
+                        r_tile: int = 128):
+    # r_tile is capped at 128: the per-row rep-code broadcast is a lane
+    # gather into the streamed (B, r_tile) block, and tpu.dynamic_gather
+    # requires the gather dimension to span a single vreg (128 lanes).
+    """Batched fused wrap-DP v2 for a (B, 128, r_pad) bucket.
+
+    Inputs:
+      scal (B, 8) int32: rep_len, unit_len, mg, mp, ip, 0, 0, 0
+      rep  (B, r_pad) int8 (pad -1), unit (B, 128) int8 (pad -2)
+    Output: (B, 15) int32, identical layout to make_wrap_dp_fused.
+    """
+    r_tile = min(r_tile, r_pad)
+    while r_pad % r_tile:
+        r_tile -= 1
+    n_rt = r_pad // r_tile
+    kernel = _fused2_kernel(b, r_tile)
+
+    def fn(scal, rep, unit):
+        out = pl.pallas_call(
+            kernel,
+            grid=(n_rt,),
+            in_specs=[
+                pl.BlockSpec((b, 8), lambda rt: (0, 0)),
+                pl.BlockSpec((b, r_tile), lambda rt: (0, rt)),
+                pl.BlockSpec((b, U_PAD), lambda rt: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((b, 16), lambda rt: (0, 0)),
+            out_shape=jax.ShapeDtypeStruct((b, 16), jnp.int32),
+            scratch_shapes=[pltpu.VMEM((b, U_PAD), jnp.int32)
+                            for _ in range(9)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                # 9 persistent (B,128) i32 state planes + temporaries:
+                # the 16M default scoped-vmem limit caps B at ~1k; v5e
+                # has far more physical VMEM
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(scal, rep, unit)
+
+        bv, bi = out[:, 1], out[:, 2]
+        m, ins, si = out[:, 4], out[:, 5], out[:, 6]
+        mgv, mpv, ipv = scal[:, 2], scal[:, 3], scal[:, 4]
+        x = bi - si - m - ins                    # read-consumption identity
+        dl = (m * mgv - x * mpv - bv - ins * ipv) // ipv  # score identity
+        scanned = m + x + dl
+        done = jnp.ones_like(m)
+        tb = jnp.stack([m, x, ins, dl, scanned, si, done], axis=1)
+        return jnp.concatenate([tb, out[:, :8]], axis=1)
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=64)
+def get_wrap_dp_fused2(b: int, r_pad: int):
+    interpret = jax.default_backend() == "cpu"
+    return make_wrap_dp_fused2(b, r_pad, interpret=interpret)
