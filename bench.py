@@ -1,19 +1,27 @@
-"""Benchmark driver: reads/s on the reference's headline workload.
+"""Benchmark driver: the north-star metrics on real hardware.
 
-Workload = test_single_TR/test.sh defaults: synthetic reads with a
-100 bp unit x 10 copies, flanks of unit_len*freq on both sides
-(~3 kb/read), error profile sub/ins/del = 1.6/9.0/3.8%.  The reference
-binary (gcc, no -O, 1 CPU core) measures ~17 reads/s on this set
-(BASELINE.md).
+BASELINE.json defines the metric set: reads/s/chip on the 200_200
+Nanopore set, wrap-around-DP GCUPS/chip, and output-equality rate vs the
+reference binary.  The bundled 200_200 Badread zips are absent from the
+reference snapshot (PacBio_Nanopore_read/Readme, .MISSING_LARGE_BLOBS),
+so the set is regenerated with the reference's own generator semantics:
+rand_seq, unit 200 bp x 200 copies, flanks unit*freq, Nanopore-profile
+error rates sub/ins/del = 9.7/2.9/7.5% (test_single_TR/test.sh:16-18).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line.  Primary fields {"metric", "value", "unit",
+"vs_baseline"} = reads/s on the 200_200 set for the fastest engine;
+extra fields carry the other north-star metrics:
+  wrap_dp_gcups        fused wrap-DP kernel throughput, slope method
+                       (two rep_len points on one program -> transfer
+                       and dispatch fixed costs cancel)
+  output_equality_rate identical output lines vs the reference binary
+                       (GLIBC_TUNABLES=glibc.malloc.tcache_count=0 -- see
+                       PARITY.md) across the 200_200 + 100x10 sets
+  singleTR_100x10      round-1 headline workload (vs 17 reads/s C ref)
 
-Engine selection is empirical: each candidate engine (native host path,
-Pallas TPU path) runs the measured set in its OWN subprocess — the JAX
-runtime's service threads would otherwise steal CPU from the host
-engine on small containers — with one warmup pass plus best-of-N
-repetitions to ride out noisy-neighbor/lazy-memory variance.  A wedged
-TPU terminal is handled by a hard preflight deadline.
+Engine selection is empirical: each candidate engine runs in its OWN
+subprocess (JAX service threads otherwise steal CPU from the host
+engine) with one warmup pass plus best-of-N timed passes.
 """
 
 import json
@@ -22,24 +30,80 @@ import subprocess
 import sys
 import time
 
-BASELINE_READS_PER_S = 17.0
-N_READS = int(os.environ.get("MTR_BENCH_READS", "100"))
-N_REPS = int(os.environ.get("MTR_BENCH_REPS", "3"))
-PREFLIGHT_S = int(os.environ.get("MTR_BENCH_PREFLIGHT_S", "600"))
-FASTA = "/tmp/mtr_bench_100x10.fasta"
+# Reference-binary rates measured on this container (1 core, stock
+# Makefile, no -O): BASELINE.md.  Re-derivable: /tmp/refbuild/mTR.
+BASELINE_200x200_READS_PER_S = 0.328   # 5 reads in 15.24 s
+BASELINE_100x10_READS_PER_S = 17.0
 
-# keep glibc from returning freed arenas to the OS: on lazy-memory hosts
-# re-faulting returned pages costs ~30 us/page (see mtr_tpu/native.py)
+N_READS_200 = int(os.environ.get("MTR_BENCH_READS_200", "20"))
+N_READS_100 = int(os.environ.get("MTR_BENCH_READS", "100"))
+N_REPS = int(os.environ.get("MTR_BENCH_REPS", "2"))
+PREFLIGHT_S = int(os.environ.get("MTR_BENCH_PREFLIGHT_S", "900"))
+FASTA_200 = "/tmp/mtr_bench_200x200.fasta"
+FASTA_100 = "/tmp/mtr_bench_100x10.fasta"
+REF_BIN = "/tmp/refbuild/mTR"
+
 _CHILD_ENV = {
+    # keep glibc from returning freed arenas to the OS: on lazy-memory
+    # hosts re-faulting returned pages costs ~30 us/page (mtr_tpu/native.py)
     "MALLOC_MMAP_MAX_": "0",
     "MALLOC_TRIM_THRESHOLD_": "1073741824",
     "JAX_COMPILATION_CACHE_DIR": os.path.expanduser("~/.cache/mtr_tpu_jax"),
 }
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def ensure_sets():
+    from mtr_tpu.testutil.rand_seq import write_fasta
+
+    regen = os.environ.get("MTR_BENCH_REGEN")
+    if not os.path.exists(FASTA_200) or regen:
+        write_fasta(FASTA_200, FASTA_200[:-6] + ".units",
+                    200, 200, 9.7, 2.9, 7.5, 40000, 40000, N_READS_200,
+                    seed=20200)
+    if not os.path.exists(FASTA_100) or regen:
+        write_fasta(FASTA_100, FASTA_100[:-6] + ".units",
+                    100, 10, 1.6, 9.0, 3.8, 1000, 1000, N_READS_100,
+                    seed=12345)
+
+
+def ensure_reference():
+    """Build the unmodified reference binary for equality goldens."""
+    if os.path.exists(REF_BIN):
+        return True
+    import glob
+    import shutil
+
+    src = "/root/reference"
+    if not os.path.isdir(src):
+        return False
+    bld = "/tmp/refbuild"
+    os.makedirs(bld, exist_ok=True)
+    for pat in ("*.c", "*.cpp", "*.h", "Makefile"):
+        for f in glob.glob(os.path.join(src, pat)):
+            shutil.copy(f, bld)
+    r = subprocess.run(["make"], cwd=bld, capture_output=True)
+    return r.returncode == 0 and os.path.exists(REF_BIN)
+
+
+def reference_golden(fasta):
+    """Reference output under the deterministic-allocator configuration
+    (PARITY.md), cached beside the fasta."""
+    golden = fasta + ".refout"
+    if os.path.exists(golden) and os.path.getmtime(golden) >= os.path.getmtime(fasta):
+        return golden
+    if not ensure_reference():
+        return None
+    env = {**os.environ, "GLIBC_TUNABLES": "glibc.malloc.tcache_count=0"}
+    with open(golden, "w") as out:
+        r = subprocess.run([REF_BIN, fasta], stdout=out, env=env, timeout=3600)
+    if r.returncode != 0:
+        os.unlink(golden)
+        return None
+    return golden
 
 
 def preflight_device() -> bool:
-    """TPU usability probe (incl. one pallas first-exec) in a subprocess
-    with a hard deadline — a wedged terminal must not hang the bench."""
     code = (
         "import numpy as np, jax, jax.numpy as jnp\n"
         "from jax.experimental import pallas as pl\n"
@@ -49,45 +113,84 @@ def preflight_device() -> bool:
     )
     try:
         r = subprocess.run(
-            [sys.executable, "-c", code],
-            capture_output=True,
-            timeout=PREFLIGHT_S,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-            env={**os.environ, **_CHILD_ENV},
+            [sys.executable, "-c", code], capture_output=True,
+            timeout=PREFLIGHT_S, cwd=REPO, env={**os.environ, **_CHILD_ENV},
         )
         return r.returncode == 0 and b"2" in r.stdout
     except subprocess.TimeoutExpired:
         return False
 
 
-def child(backend: str, n_reads: int, n_reps: int) -> int:
-    """Measured run: warmup pass + n_reps timed passes; prints best dt."""
+def child(backend, fasta, n_reads, n_reps):
+    """Measured run in-process: warmup + n_reps timed passes, best dt.
+    Also emits the output lines (for the equality metric)."""
     import io
 
     from mtr_tpu.config import MTRConfig
     from mtr_tpu.pipeline import run_file
 
     cfg = MTRConfig(backend=backend, reads_per_batch=min(128, n_reads))
+    buf = io.StringIO()
+    run_file(fasta, cfg, buf)  # warmup: compiles, pools, pages
     best = float("inf")
-    run_file(FASTA, cfg, io.StringIO())  # warmup: compiles, pools, pages
     for _ in range(n_reps):
         t0 = time.time()
-        run_file(FASTA, cfg, io.StringIO())
+        run_file(fasta, cfg, io.StringIO())
         best = min(best, time.time() - t0)
+    out = fasta + f".{backend}.out"
+    with open(out, "w") as f:
+        f.write(buf.getvalue())
     print(json.dumps({"dt": best}))
     return 0
 
 
-def run_engine(backend: str, n_reads: int, n_reps: int, timeout_s: int):
-    """One engine's measurement in an isolated subprocess; returns best
-    seconds or None on failure/timeout."""
+def child_gcups():
+    """Fused wrap-DP kernel GCUPS by the slope method on the production
+    bucket shape: two rep_len points on ONE compiled program, so the
+    dispatch/transfer fixed costs cancel exactly."""
+    import numpy as np
+
+    from mtr_tpu.pipeline import B_FUSED2
+    from mtr_tpu.ops.wrap_dp_fused2 import make_wrap_dp_fused2
+
+    b, r_pad, unit_len = B_FUSED2, 4096, 100
+    rng = np.random.default_rng(0)
+    unit = rng.integers(0, 4, unit_len)
+    fn = make_wrap_dp_fused2(b, r_pad)
+
+    def inputs(rep_len):
+        rep = np.tile(unit, rep_len // unit_len + 1)[:rep_len]
+        repa = np.full((b, r_pad), -1, np.int8)
+        repa[:, :rep_len] = rep
+        units = np.full((b, 128), -2, np.int8)
+        units[:, :unit_len] = unit
+        scal = np.zeros((b, 8), np.int32)
+        scal[:, 0] = rep_len
+        scal[:, 1] = unit_len
+        scal[:, 2:5] = (1, 1, 3)
+        return scal, repa, units
+
+    def t(args):
+        np.asarray(fn(*args))
+        ts = []
+        for _ in range(3):
+            t0 = time.time()
+            np.asarray(fn(*args))
+            ts.append(time.time() - t0)
+        return min(ts)
+
+    i1, i2 = inputs(1024), inputs(4096)
+    t1, t2 = t(i1), t(i2)
+    per_row = (t2 - t1) / 3072
+    print(json.dumps({"gcups": b * unit_len / per_row / 1e9}))
+    return 0
+
+
+def run_child(args, timeout_s):
     try:
         r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--child", backend,
-             str(n_reads), str(n_reps)],
-            capture_output=True,
-            timeout=timeout_s,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
+            [sys.executable, os.path.abspath(__file__), *args],
+            capture_output=True, timeout=timeout_s, cwd=REPO,
             env={**os.environ, **_CHILD_ENV},
         )
     except subprocess.TimeoutExpired:
@@ -95,53 +198,91 @@ def run_engine(backend: str, n_reads: int, n_reps: int, timeout_s: int):
     if r.returncode != 0:
         return None
     try:
-        return float(json.loads(r.stdout.splitlines()[-1])["dt"])
+        return json.loads(r.stdout.splitlines()[-1])
     except Exception:
         return None
 
 
+def equality_rate(pairs):
+    """Fraction of identical output lines across (ours, golden) files."""
+    total = match = 0
+    for ours, golden in pairs:
+        if not (ours and golden and os.path.exists(ours) and os.path.exists(golden)):
+            continue
+        a = open(ours).read().splitlines()
+        b = open(golden).read().splitlines()
+        total += max(len(a), len(b))
+        match += sum(1 for x, y in zip(a, b) if x == y)
+    return (match / total) if total else None
+
+
+def measure_set(fasta, n_reads, candidates, n_reps, timeout_s):
+    results = {}
+    for backend in candidates:
+        r = run_child(["--child", backend, fasta, str(n_reads), str(n_reps)],
+                      timeout_s)
+        if r is not None:
+            results[backend] = r["dt"]
+    if not results:
+        return None, None
+    best = min(results, key=results.get)
+    return best, n_reads / results[best]
+
+
 def main():
-    from mtr_tpu.testutil.rand_seq import write_fasta
-
-    units = "/tmp/mtr_bench_100x10.units"
-    if not os.path.exists(FASTA) or os.environ.get("MTR_BENCH_REGEN"):
-        write_fasta(FASTA, units, 100, 10, 1.6, 9.0, 3.8, 1000, 1000, N_READS, seed=12345)
-
+    ensure_sets()
     force = os.environ.get("MTR_BENCH_BACKEND")
     if force:
         candidates = [force]
     else:
         candidates = ["host"]
         if preflight_device():
-            candidates.extend(["device", "hybrid"])
+            candidates.extend(["hybrid", "device"])
 
-    results = {}
-    for b in candidates:
-        # generous deadline: device path pays minutes-long program loads
-        # on proxied TPU terminals
-        dt = run_engine(b, N_READS, N_REPS, timeout_s=3600)
-        if dt is not None:
-            results[b] = dt
-    if not results:
-        print(json.dumps({"metric": "reads_per_s_singleTR_100x10", "value": 0.0,
-                          "unit": "reads/s", "vs_baseline": 0.0, "error": "no engine"}))
+    # the north-star workload
+    b200, rate200 = measure_set(FASTA_200, N_READS_200, candidates,
+                                N_REPS, timeout_s=5400)
+    # round-1 headline workload (comparability across rounds)
+    b100, rate100 = measure_set(FASTA_100, N_READS_100, candidates,
+                                N_REPS, timeout_s=5400)
+
+    gc = None
+    if "hybrid" in candidates or "device" in candidates or force in ("hybrid", "device"):
+        g = run_child(["--gcups"], timeout_s=3600)
+        gc = round(g["gcups"], 2) if g else None
+
+    pairs = []
+    for fasta, backend in ((FASTA_200, b200), (FASTA_100, b100)):
+        if backend:
+            pairs.append((f"{fasta}.{backend}.out", reference_golden(fasta)))
+    eq = equality_rate(pairs)
+
+    if rate200 is None:
+        print(json.dumps({"metric": "reads_per_s_nanopore_200x200",
+                          "value": 0.0, "unit": "reads/s",
+                          "vs_baseline": 0.0, "error": "no engine"}))
         return 1
-    backend = min(results, key=results.get)
-    reads_per_s = N_READS / results[backend]
-    print(
-        json.dumps(
-            {
-                "metric": f"reads_per_s_singleTR_100x10_{backend}",
-                "value": round(reads_per_s, 3),
-                "unit": "reads/s",
-                "vs_baseline": round(reads_per_s / BASELINE_READS_PER_S, 3),
-            }
-        )
-    )
+    print(json.dumps({
+        "metric": f"reads_per_s_nanopore_200x200_{b200}",
+        "value": round(rate200, 3),
+        "unit": "reads/s",
+        "vs_baseline": round(rate200 / BASELINE_200x200_READS_PER_S, 3),
+        "wrap_dp_gcups": gc,
+        "output_equality_rate": eq,
+        "singleTR_100x10": {
+            "backend": b100,
+            "reads_per_s": round(rate100, 3) if rate100 else None,
+            "vs_baseline": round(rate100 / BASELINE_100x10_READS_PER_S, 3)
+            if rate100 else None,
+        },
+    }))
     return 0
 
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--child":
-        sys.exit(child(sys.argv[2], int(sys.argv[3]), int(sys.argv[4])))
+        sys.exit(child(sys.argv[2], sys.argv[3], int(sys.argv[4]),
+                       int(sys.argv[5])))
+    if len(sys.argv) > 1 and sys.argv[1] == "--gcups":
+        sys.exit(child_gcups())
     sys.exit(main())

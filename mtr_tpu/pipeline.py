@@ -69,6 +69,10 @@ U_BUCKETS_FUSED = (
 # batch rides the LANE dim in the fused kernel; B*u_pad bounds VMEM
 # (4 persistent planes + ~12 live temporaries per row step).
 B_FUSED = {8: 4096, 32: 2048, 128: 1024, 512: 256}
+# Counts-mode jobs with unit_len <= 128 take the v2 kernel
+# (ops/wrap_dp_fused2.py): jobs on sublanes, unit on the 128-lane vreg
+# span, int8 rep streaming.  One program per r bucket.
+B_FUSED2 = 2048
 # Consensus-mode (polish) jobs keep the move-tensor + device-traceback
 # path: their per-column consensus/missing matrices cannot ride the
 # fused argmax propagation, and they are a small minority of jobs.
@@ -108,6 +112,16 @@ def _cpu_backend() -> bool:
     import jax
 
     return jax.default_backend() == "cpu"
+
+
+def _put(*arrays):
+    """Async explicit host->device transfers (no-op on CPU: device_put
+    would copy what jit aliases zero-copy)."""
+    if _cpu_backend():
+        return arrays
+    import jax
+
+    return tuple(jax.device_put(a) for a in arrays)
 
 
 def dedup_jobs(jobs: list["DPJob"]) -> tuple[list["DPJob"], list[int]]:
@@ -157,17 +171,20 @@ class WrapDPBatcher:
         self._free: dict = defaultdict(list)
         self._seq = 0
 
-    def _acquire(self, b_pad, r_pad, u_pad):
+    def _acquire(self, b_pad, r_pad, u_pad, dtype=np.int32):
         from mtr_tpu import native
 
-        lst = self._free[(b_pad, r_pad, u_pad)]
+        tag = np.dtype(dtype).name
+        lst = self._free[(b_pad, r_pad, u_pad, tag)]
         if lst:
             return lst.pop()
         self._seq += 1
         s = self._seq
-        reps = native.POOL.get(f"dev_reps_{b_pad}x{r_pad}_{s}", (b_pad, r_pad), np.int32)
-        units = native.POOL.get(f"dev_units_{b_pad}x{u_pad}_{s}", (b_pad, u_pad), np.int32)
-        scal = native.POOL.get(f"dev_scal_{b_pad}_{s}", (b_pad, 8), np.int32)
+        reps = native.POOL.get(
+            f"dev_reps_{tag}_{b_pad}x{r_pad}_{s}", (b_pad, r_pad), dtype)
+        units = native.POOL.get(
+            f"dev_units_{tag}_{b_pad}x{u_pad}_{s}", (b_pad, u_pad), dtype)
+        scal = native.POOL.get(f"dev_scal_{tag}_{b_pad}_{s}", (b_pad, 8), np.int32)
         return (reps, units, scal)
 
     def run(self, jobs: list[DPJob]) -> None:
@@ -181,16 +198,25 @@ class WrapDPBatcher:
         groups: dict[tuple[int, int, str], list[int]] = defaultdict(list)
         for idx, job in enumerate(jobs):
             rep_len = job.qe - job.qs + 1
-            ubuckets = U_BUCKETS if job.mode == "consensus" else U_BUCKETS_FUSED
             r_pad = _bucket(rep_len, R_BUCKETS)
-            u_pad = _bucket(len(job.unit), ubuckets)
-            groups[(r_pad, u_pad, job.mode)].append(idx)
+            if job.mode == "consensus":
+                u_pad = _bucket(len(job.unit), U_BUCKETS)
+                mode = "consensus"
+            elif len(job.unit) <= 128:
+                # v2 kernel: unit on the 128-lane vreg span
+                u_pad, mode = 128, "counts2"
+            else:
+                u_pad = _bucket(len(job.unit), U_BUCKETS_FUSED)
+                mode = "counts"
+            groups[(r_pad, u_pad, mode)].append(idx)
 
         pending = []
         for (r_pad, u_pad, mode), idxs in sorted(groups.items()):
             if mode == "consensus":
                 cap = max(1, MOVES_BYTES_CAP // ((r_pad + 1) * u_pad))
                 cap = min(cap, B_FOR_U[u_pad])
+            elif mode == "counts2":
+                cap = B_FUSED2
             else:
                 cap = B_FUSED[u_pad]
             idxs.sort(key=lambda i: jobs[i].qe - jobs[i].qs)
@@ -219,7 +245,12 @@ class WrapDPBatcher:
         from mtr_tpu.ops.wrap_dp_fused import get_wrap_dp_fused, fused_limits
 
         n = len(chunk)
-        b_pad = B_FOR_U[u_pad] if mode == "consensus" else B_FUSED[u_pad]
+        if mode == "consensus":
+            b_pad = B_FOR_U[u_pad]
+        elif mode == "counts2":
+            b_pad = B_FUSED2
+        else:
+            b_pad = B_FUSED[u_pad]
         if _cpu_backend():
             # interpret-mode cost scales with b_pad regardless of chunk
             # fill; shrink to the chunk (tests / CPU fallback only)
@@ -227,7 +258,8 @@ class WrapDPBatcher:
         # pooled per shape via a freelist: fresh per-chunk np.full buffers
         # would pay the lazy-memory first-touch cost (see native._BufPool),
         # and shape-keyed reuse alone would race in-flight dispatches
-        buffers = self._acquire(b_pad, r_pad, u_pad)
+        dtype = np.int8 if mode == "counts2" else np.int32
+        buffers = self._acquire(b_pad, r_pad, u_pad, dtype)
         reps, units, scal = buffers
         reps.fill(-1)
         units.fill(-2)
@@ -244,6 +276,19 @@ class WrapDPBatcher:
             scal[row, 0] = rep_len
             scal[row, 1] = len(job.unit)
             scal[row, 2:5] = job.scheme
+        if mode == "counts2":
+            from mtr_tpu.ops.wrap_dp_fused2 import get_wrap_dp_fused2
+
+            fn = get_wrap_dp_fused2(b_pad, r_pad)
+            with TIMERS.section("dp_fill"):
+                # explicit async device_put: the jit argument-transfer
+                # path moves host buffers an order of magnitude slower
+                # than device_put on proxied backends
+                fused = fn(*_put(scal, reps, units))
+            TIMERS.count("dp_jobs", len(chunk))
+            TIMERS.count("dp_chunks")
+            return (chunk, "counts", (fused,), (b_pad, r_pad, u_pad, "int8"),
+                    buffers)
         if mode == "counts":
             # fused fill+counts kernel: one dispatch, no move tensor
             limit = min(fused_limits(u_pad))
@@ -255,13 +300,13 @@ class WrapDPBatcher:
             )
             fn = get_wrap_dp_fused(b_pad, u_pad, r_pad)
             with TIMERS.section("dp_fill"):
-                fused = fn(scal, reps, units)
+                fused = fn(*_put(scal, reps, units))
             TIMERS.count("dp_jobs", len(chunk))
             TIMERS.count("dp_chunks")
-            return (chunk, mode, (fused,), (b_pad, r_pad, u_pad), buffers)
+            return (chunk, mode, (fused,), (b_pad, r_pad, u_pad, "int32"), buffers)
         fn = get_wrap_dp_pallas(b_pad, u_pad, r_pad)
         with TIMERS.section("dp_fill"):
-            moves, best = fn(scal, reps, units)
+            moves, best = fn(*_put(scal, reps, units))
         TIMERS.count("dp_jobs", len(chunk))
         TIMERS.count("dp_chunks")
         unit_lens = scal[:, 1].copy()
@@ -272,7 +317,7 @@ class WrapDPBatcher:
         )
         factor = 2 if factor <= 2 else TB_FACTOR
         fused = traceback_consensus_batch(moves, reps, unit_lens, best, factor)
-        return (chunk, mode, (fused,), (b_pad, r_pad, u_pad), buffers)
+        return (chunk, mode, (fused,), (b_pad, r_pad, u_pad, "int32"), buffers)
 
     def _collect_chunk(self, jobs, chunk, mode, payload, shape_key, buffers) -> None:
         with TIMERS.section("dp_traceback"):
