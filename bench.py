@@ -57,14 +57,29 @@ def ensure_sets():
     from mtr_tpu.testutil.rand_seq import write_fasta
 
     regen = os.environ.get("MTR_BENCH_REGEN")
-    if not os.path.exists(FASTA_200) or regen:
+
+    def stale(fasta, n):
+        # a sidecar records the read count the file was generated with;
+        # changing MTR_BENCH_READS* must regenerate, not skew reads/s
+        # against a stale file
+        meta = fasta + ".n"
+        if not os.path.exists(fasta):
+            return True
+        try:
+            return int(open(meta).read().strip()) != n
+        except (FileNotFoundError, ValueError):
+            return True
+
+    if stale(FASTA_200, N_READS_200) or regen:
         write_fasta(FASTA_200, FASTA_200[:-6] + ".units",
                     200, 200, 9.7, 2.9, 7.5, 40000, 40000, N_READS_200,
                     seed=20200)
-    if not os.path.exists(FASTA_100) or regen:
+        open(FASTA_200 + ".n", "w").write(str(N_READS_200))
+    if stale(FASTA_100, N_READS_100) or regen:
         write_fasta(FASTA_100, FASTA_100[:-6] + ".units",
                     100, 10, 1.6, 9.0, 3.8, 1000, 1000, N_READS_100,
                     seed=12345)
+        open(FASTA_100 + ".n", "w").write(str(N_READS_100))
 
 
 def ensure_reference():
@@ -95,10 +110,18 @@ def reference_golden(fasta):
     if not ensure_reference():
         return None
     env = {**os.environ, "GLIBC_TUNABLES": "glibc.malloc.tcache_count=0"}
-    with open(golden, "w") as out:
-        r = subprocess.run([REF_BIN, fasta], stdout=out, env=env, timeout=3600)
-    if r.returncode != 0:
-        os.unlink(golden)
+    try:
+        with open(golden, "w") as out:
+            r = subprocess.run(
+                [REF_BIN, fasta], stdout=out, env=env, timeout=3600)
+        ok = r.returncode == 0
+    except Exception:  # incl. TimeoutExpired: never keep a partial golden
+        ok = False
+    if not ok:
+        try:
+            os.unlink(golden)
+        except FileNotFoundError:
+            pass
         return None
     return golden
 
@@ -180,7 +203,13 @@ def child_gcups():
         return min(ts)
 
     i1, i2 = inputs(1024), inputs(4096)
-    t1, t2 = t(i1), t(i2)
+    for _attempt in range(3):
+        t1, t2 = t(i1), t(i2)
+        if t2 > t1:
+            break
+    if t2 <= t1:  # timing noise (proxied terminals): report null, not inf
+        print(json.dumps({"gcups": None}))
+        return 0
     per_row = (t2 - t1) / 3072
     print(json.dumps({"gcups": b * unit_len / per_row / 1e9}))
     return 0
@@ -249,7 +278,7 @@ def main():
     gc = None
     if "hybrid" in candidates or "device" in candidates or force in ("hybrid", "device"):
         g = run_child(["--gcups"], timeout_s=3600)
-        gc = round(g["gcups"], 2) if g else None
+        gc = round(g["gcups"], 2) if g and g.get("gcups") is not None else None
 
     pairs = []
     for fasta, backend in ((FASTA_200, b200), (FASTA_100, b100)):

@@ -25,6 +25,12 @@ from mtr_tpu.ops.wrap_dp_fused import make_wrap_dp_fused
 def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
     devs = jax.devices()
     if n_devices is not None:
+        # a silent truncation here would let multichip checks pass
+        # vacuously on a 1-device machine
+        assert len(devs) >= n_devices, (
+            f"requested a {n_devices}-device mesh but only "
+            f"{len(devs)} devices are visible"
+        )
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis,))
 

@@ -393,36 +393,75 @@ class HybridDPBatcher:
     device chunks execute asynchronously while the host threads chew the
     small-job tail.  Every engine is bit-exact, so the split is free of
     semantic risk.  cell_threshold picks the crossover; the default
-    (4M cells) amortizes even high dispatch latencies."""
+    (4M cells) amortizes even high dispatch latencies.
+
+    Degradation: if the device leg ever fails, or its first batch blows
+    the compile/dispatch budget (MTR_TPU_DEVICE_BUDGET_S, default 900 s
+    — generous enough for a cold Pallas compile, small vs the hours a
+    wedged proxied runtime can burn), the failed jobs are re-run on the
+    host engine and the device leg is disabled for the rest of the run
+    with a stderr notice.  The reference CLI "just works" (main.c:48);
+    so must ours on hardware with a flaky accelerator path."""
 
     def __init__(self, cell_threshold: int = 1 << 22):
         self.device = WrapDPBatcher()
         self.host = HostDPBatcher()
         self.cell_threshold = cell_threshold
+        self.device_ok = True
+        self._first_done = False
+        self.budget_s = float(
+            _os.environ.get("MTR_TPU_DEVICE_BUDGET_S", "900"))
 
     def run(self, jobs: list[DPJob]) -> None:
         import threading
 
         uniq_jobs, remap = dedup_jobs(jobs)
         big = [j for j in uniq_jobs
-               if (j.qe - j.qs + 1) * len(j.unit) >= self.cell_threshold]
+               if self.device_ok
+               and (j.qe - j.qs + 1) * len(j.unit) >= self.cell_threshold]
         small = [j for j in uniq_jobs
-                 if (j.qe - j.qs + 1) * len(j.unit) < self.cell_threshold]
+                 if not (self.device_ok
+                         and (j.qe - j.qs + 1) * len(j.unit)
+                         >= self.cell_threshold)]
         if big:
             err: list = []
+            t0 = time.time()
 
             def dev_run():
                 try:
                     self.device._run(big)
-                except Exception as e:  # re-raised on the caller thread
+                except Exception as e:  # handled on the caller thread
                     err.append(e)
 
             t = threading.Thread(target=dev_run)
             t.start()
             self.host._run(small)
-            t.join()
-            if err:
-                raise err[0]
+            t.join(None if self._first_done else self.budget_s)
+            over_budget = t.is_alive()
+            if over_budget:
+                # the dispatch thread cannot be cancelled; let it finish
+                # (results are discarded) but stop feeding the device
+                import sys
+
+                print(
+                    f"warning: device DP batch exceeded the "
+                    f"{self.budget_s:.0f}s budget; degrading to the host "
+                    f"engine for the rest of this run",
+                    file=sys.stderr,
+                )
+                t.join()
+            if err and self.device_ok:
+                import sys
+
+                print(
+                    f"warning: device DP engine failed ({err[0]}); "
+                    f"degrading to the host engine",
+                    file=sys.stderr,
+                )
+            if err or over_budget:
+                self.device_ok = False
+                self.host._run(big)
+            self._first_done = True
         else:
             self.host._run(small)
         if len(uniq_jobs) != len(jobs):
@@ -431,8 +470,10 @@ class HybridDPBatcher:
 
 
 def make_batcher(cfg: MTRConfig):
-    """Pick the DP engine: device (Pallas) when a TPU backend is
-    initialized, else the native host engine."""
+    """Pick the DP engine.  `auto` chooses the hybrid engine when an
+    accelerator is present: it is the fastest TPU-using configuration
+    AND self-degrades to host if the device path stalls (first-use UX on
+    machines with a slow/proxied accelerator runtime must not hang)."""
     if cfg.backend == "device":
         return WrapDPBatcher()
     if cfg.backend == "host":
@@ -440,15 +481,17 @@ def make_batcher(cfg: MTRConfig):
     if cfg.backend == "hybrid":
         return HybridDPBatcher()
     # auto
+    from mtr_tpu import native
+
     try:
         import jax
 
         if jax.default_backend() != "cpu":
+            if native.available():
+                return HybridDPBatcher()
             return WrapDPBatcher()
     except Exception:
         pass
-    from mtr_tpu import native
-
     return HostDPBatcher() if native.available() else WrapDPBatcher()
 
 
