@@ -145,12 +145,33 @@ def _load():
         ct.POINTER(ct.c_uint8), i64, i64, i64,
         ct.POINTER(ct.c_int32), i64, ct.POINTER(i64), ct.POINTER(i64),
     ]
+    lib.mtr_stage_timers.argtypes = [ct.c_int]
+    lib.mtr_stage_read.argtypes = [ct.POINTER(i64), ct.c_int]
     _LIB = lib
     return lib
 
 
 def available() -> bool:
     return _load() is not None
+
+
+def enable_stage_timers(on: bool = True) -> None:
+    """Turn on real per-stage accumulators inside the walk engine
+    (init_inputString / count-table / walk sections, matching
+    mTR.h:142-143).  Off by default: timing costs ~6% of a walk query."""
+    lib = _load()
+    if lib is not None:
+        lib.mtr_stage_timers(1 if on else 0)
+
+
+def read_stage_timers(reset: bool = True) -> tuple[float, float, float]:
+    """(init_s, count_table_s, walk_s) accumulated since the last reset."""
+    lib = _load()
+    if lib is None:
+        return 0.0, 0.0, 0.0
+    out = np.zeros(3, np.int64)
+    lib.mtr_stage_read(_ip64(out), 1 if reset else 0)
+    return float(out[0]) / 1e9, float(out[1]) / 1e9, float(out[2]) / 1e9
 
 
 def _dp(a):

@@ -321,16 +321,22 @@ def dbg_walk_device_batch(org_arrays, len_table, read_idx, qss, qes, ks):
 def _run_chunk(chunk, v_pad, orgs_dev, read_idx, qss, km_end, V, ks, lmax,
                fallback, fwd_row, bwd_row, fwd_period, bwd_period,
                found_last, unit_rows, score_rows):
+    from mtr_tpu.utils.timers import TIMERS
+
     qb = len(chunk)
-    sv, adj, maxfreq, nodes, n_nodes = _stage_a(
-        v_pad,
-        orgs_dev,
-        jnp.asarray(read_idx[chunk], jnp.int32),
-        jnp.asarray(qss[chunk], jnp.int32),
-        jnp.asarray(km_end[chunk], jnp.int32),
-        jnp.asarray(V[chunk], jnp.int32),
-        jnp.asarray(ks[chunk], jnp.int32),
-    )
+    with TIMERS.section("count_table"):  # device analog of -c's
+        # "count table generation" (consensus.c:73-127): measured around
+        # the k-mer table/max-node stage including its materialization
+        sv, adj, maxfreq, nodes, n_nodes = _stage_a(
+            v_pad,
+            orgs_dev,
+            jnp.asarray(read_idx[chunk], jnp.int32),
+            jnp.asarray(qss[chunk], jnp.int32),
+            jnp.asarray(km_end[chunk], jnp.int32),
+            jnp.asarray(V[chunk], jnp.int32),
+            jnp.asarray(ks[chunk], jnp.int32),
+        )
+        maxfreq.block_until_ready()
     maxfreq_h = np.asarray(maxfreq)
     nodes_h = np.asarray(nodes)
     n_nodes_h = np.asarray(n_nodes)

@@ -55,7 +55,7 @@ from mtr_tpu.oracle.consensus import polish_repeat, rebuild_unit_from_consensus
 # compute by the chunk's longest query, not the bucket size.
 import os as _os
 
-R_BUCKETS = (4096, 32768, 262144, 1048576)
+R_BUCKETS = (4096, 32768, 65536, 262144, 1048576)
 # Counts-mode jobs run on the FUSED kernel (ops/wrap_dp_fused.py): one
 # program per (u, r) bucket, no move tensor, no traceback program.  The
 # unit rides the SUBLANE dim there, so small-unit buckets are cheap —
@@ -170,6 +170,35 @@ class WrapDPBatcher:
         # prior dispatch is still in flight would corrupt that chunk.
         self._free: dict = defaultdict(list)
         self._seq = 0
+        self._flat = None      # device-resident flat reads (int8)
+        self._offsets: dict = {}  # id(org) -> offset into flat
+
+    def begin_batch(self, orgs: list[np.ndarray]) -> None:
+        """Upload the batch's read arrays once; counts-mode chunks then
+        gather their rep segments on device (ops/wrap_dp_resident.py)
+        instead of re-uploading (B, r_pad) padding buffers per chunk."""
+        import jax
+
+        from mtr_tpu import native
+
+        total = sum(len(o) for o in orgs)
+        # trailing slack >= the largest r bucket so dynamic_slice never
+        # clamps; power-of-two total length bounds distinct jit traces
+        need = total + R_BUCKETS[-1]
+        pad = 1 << max(20, (need - 1).bit_length())
+        # double-buffered: the previous batch's device_put is async and
+        # its source must not be refilled while potentially in flight
+        self._seq += 1
+        flat = native.POOL.get(
+            f"resident_flat_{self._seq % 2}", (pad,), np.int8)
+        off: dict = {}
+        p = 0
+        for o in orgs:
+            flat[p : p + len(o)] = o
+            off[id(o)] = p
+            p += len(o)
+        self._offsets = off
+        self._flat = jax.device_put(flat)  # async
 
     def _acquire(self, b_pad, r_pad, u_pad, dtype=np.int32):
         from mtr_tpu import native
@@ -186,6 +215,22 @@ class WrapDPBatcher:
             f"dev_units_{tag}_{b_pad}x{u_pad}_{s}", (b_pad, u_pad), dtype)
         scal = native.POOL.get(f"dev_scal_{tag}_{b_pad}_{s}", (b_pad, 8), np.int32)
         return (reps, units, scal)
+
+    def _acquire_resident(self, b_pad, u_pad):
+        """(units int8, scal int32, starts int32) — no rep buffer; the
+        rep segments are gathered on device from the resident flat."""
+        from mtr_tpu import native
+
+        lst = self._free[("res", b_pad, u_pad)]
+        if lst:
+            return lst.pop()
+        self._seq += 1
+        s = self._seq
+        units = native.POOL.get(
+            f"res_units_{b_pad}x{u_pad}_{s}", (b_pad, u_pad), np.int8)
+        scal = native.POOL.get(f"res_scal_{b_pad}_{s}", (b_pad, 8), np.int32)
+        starts = native.POOL.get(f"res_starts_{b_pad}_{s}", (b_pad,), np.int32)
+        return (units, scal, starts)
 
     def run(self, jobs: list[DPJob]) -> None:
         uniq_jobs, remap = dedup_jobs(jobs)
@@ -255,39 +300,70 @@ class WrapDPBatcher:
             # interpret-mode cost scales with b_pad regardless of chunk
             # fill; shrink to the chunk (tests / CPU fallback only)
             b_pad = min(b_pad, max(128, 1 << (max(n, 1) - 1).bit_length()))
-        # pooled per shape via a freelist: fresh per-chunk np.full buffers
-        # would pay the lazy-memory first-touch cost (see native._BufPool),
-        # and shape-keyed reuse alone would race in-flight dispatches
-        dtype = np.int8 if mode == "counts2" else np.int32
-        buffers = self._acquire(b_pad, r_pad, u_pad, dtype)
-        reps, units, scal = buffers
-        reps.fill(-1)
-        units.fill(-2)
-        scal.fill(0)
-        units[:, :2] = 0
-        scal[:, 1] = 2
-        scal[:, 2:5] = 1
+        # resident path (counts modes): reads were uploaded once by
+        # begin_batch; ship only per-job (start, scal, unit) and gather
+        # the rep segments on device
+        resident = (
+            mode in ("counts", "counts2")
+            and self._flat is not None
+            and all(id(jobs[i].org) in self._offsets for i in chunk)
+        )
+        if resident:
+            units, scal, starts = self._acquire_resident(b_pad, u_pad)
+            units.fill(-2)
+            scal.fill(0)
+            starts.fill(0)
+            units[:, :2] = 0
+            scal[:, 1] = 2
+            scal[:, 2:5] = 1
+            buffers = (units, scal, starts)
+        else:
+            # pooled per shape via a freelist: fresh per-chunk np.full
+            # buffers would pay the lazy-memory first-touch cost (see
+            # native._BufPool), and shape-keyed reuse alone would race
+            # in-flight dispatches
+            dtype = np.int8 if mode == "counts2" else np.int32
+            buffers = self._acquire(b_pad, r_pad, u_pad, dtype)
+            reps, units, scal = buffers
+            reps.fill(-1)
+            units.fill(-2)
+            scal.fill(0)
+            units[:, :2] = 0
+            scal[:, 1] = 2
+            scal[:, 2:5] = 1
         for row, idx in enumerate(chunk):
             job = jobs[idx]
             rep_len = job.qe - job.qs + 1
-            seg = job.org[job.qs + 1 : job.qs + 1 + rep_len]
-            reps[row, : len(seg)] = seg
+            if resident:
+                starts[row] = self._offsets[id(job.org)] + job.qs + 1
+            else:
+                seg = job.org[job.qs + 1 : job.qs + 1 + rep_len]
+                reps[row, : len(seg)] = seg
             units[row, : len(job.unit)] = job.unit
             scal[row, 0] = rep_len
             scal[row, 1] = len(job.unit)
             scal[row, 2:5] = job.scheme
         if mode == "counts2":
             from mtr_tpu.ops.wrap_dp_fused2 import get_wrap_dp_fused2
+            from mtr_tpu.ops.wrap_dp_resident import (
+                get_wrap_dp_fused2_resident,
+            )
 
-            fn = get_wrap_dp_fused2(b_pad, r_pad)
             with TIMERS.section("dp_fill"):
                 # explicit async device_put: the jit argument-transfer
                 # path moves host buffers an order of magnitude slower
                 # than device_put on proxied backends
-                fused = fn(*_put(scal, reps, units))
+                if resident:
+                    fn = get_wrap_dp_fused2_resident(b_pad, r_pad)
+                    fused = fn(self._flat, *_put(starts, scal, units))
+                else:
+                    fn = get_wrap_dp_fused2(b_pad, r_pad)
+                    fused = fn(*_put(scal, reps, units))
             TIMERS.count("dp_jobs", len(chunk))
             TIMERS.count("dp_chunks")
-            return (chunk, "counts", (fused,), (b_pad, r_pad, u_pad, "int8"),
+            return (chunk, "counts", (fused,),
+                    ("res", b_pad, u_pad) if resident
+                    else (b_pad, r_pad, u_pad, "int8"),
                     buffers)
         if mode == "counts":
             # fused fill+counts kernel: one dispatch, no move tensor
@@ -298,12 +374,23 @@ class WrapDPBatcher:
             assert peak < limit, (
                 f"job exceeds fused packing bound: {peak} >= {limit}"
             )
-            fn = get_wrap_dp_fused(b_pad, u_pad, r_pad)
+            from mtr_tpu.ops.wrap_dp_resident import (
+                get_wrap_dp_fused_resident,
+            )
+
             with TIMERS.section("dp_fill"):
-                fused = fn(*_put(scal, reps, units))
+                if resident:
+                    fn = get_wrap_dp_fused_resident(b_pad, u_pad, r_pad)
+                    fused = fn(self._flat, *_put(starts, scal, units))
+                else:
+                    fn = get_wrap_dp_fused(b_pad, u_pad, r_pad)
+                    fused = fn(*_put(scal, reps, units))
             TIMERS.count("dp_jobs", len(chunk))
             TIMERS.count("dp_chunks")
-            return (chunk, mode, (fused,), (b_pad, r_pad, u_pad, "int32"), buffers)
+            return (chunk, mode, (fused,),
+                    ("res", b_pad, u_pad) if resident
+                    else (b_pad, r_pad, u_pad, "int32"),
+                    buffers)
         fn = get_wrap_dp_pallas(b_pad, u_pad, r_pad)
         with TIMERS.section("dp_fill"):
             moves, best = fn(*_put(scal, reps, units))
@@ -343,6 +430,9 @@ class HostDPBatcher:
     """Native C++ wrap-DP engine (threaded scalar fills) with the same
     job interface as WrapDPBatcher.  Used when no TPU is usable and as a
     cross-check implementation."""
+
+    def begin_batch(self, orgs: list[np.ndarray]) -> None:
+        pass  # host engine reads segments in place
 
     def run(self, jobs: list[DPJob]) -> None:
         uniq_jobs, remap = dedup_jobs(jobs)
@@ -403,26 +493,41 @@ class HybridDPBatcher:
     with a stderr notice.  The reference CLI "just works" (main.c:48);
     so must ours on hardware with a flaky accelerator path."""
 
-    def __init__(self, cell_threshold: int = 1 << 22):
+    def __init__(self, cell_threshold: int | None = None):
         self.device = WrapDPBatcher()
         self.host = HostDPBatcher()
+        if cell_threshold is None:
+            # resident feeding dropped the device's per-job transfer
+            # cost to ~nothing, so the crossover sits far lower than
+            # round 2's 4M-cell default: >=256k-cell jobs (~96% of all
+            # cells on long-read workloads) amortize a dispatch easily
+            cell_threshold = int(
+                _os.environ.get("MTR_TPU_HYBRID_CELLS", str(1 << 18)))
         self.cell_threshold = cell_threshold
         self.device_ok = True
         self._first_done = False
         self.budget_s = float(
             _os.environ.get("MTR_TPU_DEVICE_BUDGET_S", "900"))
 
+    def begin_batch(self, orgs: list[np.ndarray]) -> None:
+        if self.device_ok:
+            self.device.begin_batch(orgs)
+
     def run(self, jobs: list[DPJob]) -> None:
         import threading
 
         uniq_jobs, remap = dedup_jobs(jobs)
-        big = [j for j in uniq_jobs
-               if self.device_ok
-               and (j.qe - j.qs + 1) * len(j.unit) >= self.cell_threshold]
-        small = [j for j in uniq_jobs
-                 if not (self.device_ok
-                         and (j.qe - j.qs + 1) * len(j.unit)
-                         >= self.cell_threshold)]
+
+        def to_device(j):
+            # consensus-mode (polish) jobs stay on host: their device
+            # path returns per-column consensus tensors whose pulls are
+            # orders of magnitude bigger than the fused counts row
+            return (self.device_ok and j.mode == "counts"
+                    and (j.qe - j.qs + 1) * len(j.unit)
+                    >= self.cell_threshold)
+
+        big = [j for j in uniq_jobs if to_device(j)]
+        small = [j for j in uniq_jobs if not to_device(j)]
         if big:
             err: list = []
             t0 = time.time()
@@ -678,6 +783,12 @@ def process_batch(states: list[ReadState], batcher: WrapDPBatcher, cfg: MTRConfi
     from mtr_tpu.oracle.dbg import freq_2mer_array
     from mtr_tpu.utils.encoding import decode_bases
 
+    # register the batch's reads with the device engine (resident
+    # feeding): uploaded once, gathered per chunk on device
+    batcher.begin_batch([st.org for st in states])
+
+    _t_period = time.time()  # measured "Computing periods" (main.c:113)
+
     # phase 2: all (range, k) queries; native walks with compact outputs
     ridx_a, qs_a, qe_a, w_a, k_a = _collect_queries(states, cfg)
     n_q = len(ridx_a)
@@ -749,6 +860,12 @@ def process_batch(states: list[ReadState], batcher: WrapDPBatcher, cfg: MTRConfi
                 queries.append(q)
 
     TIMERS.add("walks", time.time() - _t_walk)
+    if native.available():
+        # real measured init_inputString / count-table sections from the
+        # walk engine (zeros unless -c enabled them)
+        init_s, count_s, _walk_s = native.read_stage_timers()
+        TIMERS.add("initialize", init_s)
+        TIMERS.add("count_table", count_s)
 
     # phase 3+4a: scheme selection for every candidate
     _wrap_dp_schemes(batcher, [(q, states[q.read_idx].org) for q in queries])
@@ -802,6 +919,8 @@ def process_batch(states: list[ReadState], batcher: WrapDPBatcher, cfg: MTRConfi
                 best = tmp
         range_result[key] = best
 
+    TIMERS.add("period", time.time() - _t_period)
+
     # phase 6b: sequential acceptance replay + chaining.  Only positions
     # that were ranges at collection time can be ranges now (suppression
     # only clears entries), so iterating the precomputed positions and
@@ -854,6 +973,10 @@ def run_file(
 
     if out is None:
         out = sys.stdout
+    if cfg.print_computation_time:
+        from mtr_tpu import native
+
+        native.enable_stage_timers()  # real -c stage sections (mTR.h:142)
     arena = Arena(cfg.max_input_length)
     batcher = make_batcher(cfg)
     batch: list[ReadState] = []

@@ -16,10 +16,29 @@
 #include <thread>
 #include <algorithm>
 #include <atomic>
+#include <chrono>
 #include <condition_variable>
 #include <functional>
 #include <mutex>
 #include <random>
+
+// ---------------------------------------------------------------------------
+// Stage timers (-c observability): real measured sections matching the
+// reference's accumulators (mTR.h:142-143) — time_initialize_input_string
+// (init_inputString, consensus.c:39-59), time_count_table
+// (generate_freqNode*, consensus.c:73-127), and the walk remainder.
+// Disabled by default (one relaxed load per query); enabled by the CLI's
+// -c flag via mtr_stage_timers().
+// ---------------------------------------------------------------------------
+namespace {
+std::atomic<int64_t> g_init_ns(0), g_count_ns(0), g_walk_ns(0);
+std::atomic<int> g_timers_on(0);
+inline int64_t now_ns() {
+    return std::chrono::duration_cast<std::chrono::nanoseconds>(
+               std::chrono::steady_clock::now().time_since_epoch())
+        .count();
+}
+}  // namespace
 
 // ---------------------------------------------------------------------------
 // Persistent worker pool.  Spawning std::thread per batch call would
@@ -584,8 +603,13 @@ int mtr_dbg_walk(const int32_t* org, int64_t input_len, int64_t qs, int64_t qe,
     pow4[0] = 1;
     for (int i = 1; i <= 15; i++) pow4[i] = pow4[i - 1] * 4;
 
+    const bool timed = g_timers_on.load(std::memory_order_relaxed);
+    int64_t t0 = timed ? now_ns() : 0;
+
     static thread_local std::vector<int64_t> vals;
     query_vals(org, input_len, k, qs, qe, vals);
+
+    int64_t t1 = timed ? now_ns() : 0;
 
     static thread_local CountTable t;
     t.reset(vals.size());
@@ -605,6 +629,12 @@ int mtr_dbg_walk(const int32_t* org, int64_t input_len, int64_t qs, int64_t qe,
             t.dec(v);
             if ((int)max_nodes.size() >= MAX_NUM_MAXNODES) break;
         }
+    }
+
+    int64_t t2 = timed ? now_ns() : 0;
+    if (timed) {
+        g_init_ns.fetch_add(t1 - t0, std::memory_order_relaxed);
+        g_count_ns.fetch_add(t2 - t1, std::memory_order_relaxed);
     }
 
     int found = 0;
@@ -632,7 +662,20 @@ int mtr_dbg_walk(const int32_t* org, int64_t input_len, int64_t qs, int64_t qe,
             }
         }
     }
+    if (timed) g_walk_ns.fetch_add(now_ns() - t2, std::memory_order_relaxed);
     return found;
+}
+
+void mtr_stage_timers(int enable) {
+    g_timers_on.store(enable, std::memory_order_relaxed);
+}
+
+// out3 = {init_ns, count_ns, walk_ns}; reset != 0 zeroes the accumulators
+void mtr_stage_read(int64_t* out3, int reset) {
+    out3[0] = g_init_ns.load(std::memory_order_relaxed);
+    out3[1] = g_count_ns.load(std::memory_order_relaxed);
+    out3[2] = g_walk_ns.load(std::memory_order_relaxed);
+    if (reset) { g_init_ns = 0; g_count_ns = 0; g_walk_ns = 0; }
 }
 
 // Batched walks with worker threads (queries are independent).
