@@ -48,6 +48,32 @@ def get_wrap_dp_fused2_resident(b: int, r_pad: int):
 
 
 @functools.lru_cache(maxsize=64)
+def get_wrap_dp_consensus_resident(b: int, u_pad: int, r_pad: int,
+                                   factor: int):
+    """Resident consensus-mode pipeline in ONE dispatch: gather reps,
+    Pallas fill (move tensor stays on device), bounded traceback to the
+    (B, 500, 9) consensus/missing tensor.  factor bounds the traceback
+    steps (see ops/wrap_dp_pallas.py)."""
+    from mtr_tpu.ops.wrap_dp_pallas import (
+        MAX_PERIOD,
+        make_wrap_dp_pallas,
+        traceback_consensus_batch_n,
+    )
+
+    interpret = jax.default_backend() == "cpu"
+    fill = make_wrap_dp_pallas(b, u_pad, r_pad, interpret=interpret)
+    steps = r_pad * factor + 2 * MAX_PERIOD
+
+    def fn(flat, starts, scal, unit):
+        rep = _gather_segments(flat, starts, r_pad).astype(jnp.int32)
+        moves, best = fill(scal, rep, unit.astype(jnp.int32))
+        return traceback_consensus_batch_n(
+            steps, u_pad, moves, rep, scal[:, 1], best)
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=64)
 def get_wrap_dp_fused_resident(b: int, u_pad: int, r_pad: int):
     from mtr_tpu.ops.wrap_dp_fused import make_wrap_dp_fused
 

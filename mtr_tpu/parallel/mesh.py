@@ -13,6 +13,8 @@ right granularity (queries are independent; no cross-query reduction).
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -54,6 +56,65 @@ def sharded_wrap_dp_step(mesh: Mesh, b: int, u_pad: int, r_pad: int, axis: str =
         mesh=mesh,
         in_specs=(spec, spec, spec),
         out_specs=(spec, spec),
+        check_vma=False,  # pallas_call out_shape carries no vma info
+    )
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=128)
+def sharded_resident_fn(mesh: Mesh, kind: str, b: int, u_pad: int,
+                        r_pad: int, factor: int = 0, axis: str = "dp"):
+    """Resident wrap-DP chunk kernel under shard_map: the flat read
+    array is replicated, per-job (starts, scal, units) shard their batch
+    dim over the mesh, and each device runs the single-device Pallas
+    program on its local shard.  kind in {counts2, counts, consensus}
+    (see pipeline.WrapDPBatcher._fn)."""
+    from mtr_tpu.ops.wrap_dp_resident import _gather_segments
+
+    n = int(mesh.devices.size)
+    assert b % n == 0, f"chunk batch {b} must divide the {n}-way dp axis"
+    lb = b // n
+    interpret = jax.default_backend() == "cpu"
+    if kind == "counts2":
+        from mtr_tpu.ops.wrap_dp_fused2 import make_wrap_dp_fused2
+
+        inner = make_wrap_dp_fused2(lb, r_pad, interpret=interpret)
+
+        def local(flat, starts, scal, unit):
+            rep = _gather_segments(flat, starts, r_pad)
+            return inner(scal, rep, unit)
+
+    elif kind == "counts":
+        from mtr_tpu.ops.wrap_dp_fused import make_wrap_dp_fused
+
+        inner = make_wrap_dp_fused(lb, u_pad, r_pad, interpret=interpret)
+
+        def local(flat, starts, scal, unit):
+            rep = _gather_segments(flat, starts, r_pad).astype(jnp.int32)
+            return inner(scal, rep, unit.astype(jnp.int32))
+
+    else:  # consensus
+        from mtr_tpu.ops.wrap_dp_pallas import (
+            MAX_PERIOD,
+            make_wrap_dp_pallas,
+            traceback_consensus_batch_n,
+        )
+
+        fill = make_wrap_dp_pallas(lb, u_pad, r_pad, interpret=interpret)
+        steps = r_pad * factor + 2 * MAX_PERIOD
+
+        def local(flat, starts, scal, unit):
+            rep = _gather_segments(flat, starts, r_pad).astype(jnp.int32)
+            moves, best = fill(scal, rep, unit.astype(jnp.int32))
+            return traceback_consensus_batch_n(
+                steps, u_pad, moves, rep, scal[:, 1], best)
+
+    spec = P(axis)
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None), spec, spec, spec),
+        out_specs=spec,
         check_vma=False,  # pallas_call out_shape carries no vma info
     )
     return jax.jit(fn)

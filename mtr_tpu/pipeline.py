@@ -172,6 +172,28 @@ class WrapDPBatcher:
         self._seq = 0
         self._flat = None      # device-resident flat reads (int8)
         self._offsets: dict = {}  # id(org) -> offset into flat
+        self.mesh = None       # set by ShardedWrapDPBatcher
+
+    def _fn(self, kind: str, b_pad: int, u_pad: int, r_pad: int,
+            factor: int = 0):
+        """Resident kernel for a chunk shape; sharded over self.mesh's
+        'dp' axis when a mesh is attached."""
+        if self.mesh is not None:
+            from mtr_tpu.parallel.mesh import sharded_resident_fn
+
+            return sharded_resident_fn(
+                self.mesh, kind, b_pad, u_pad, r_pad, factor)
+        from mtr_tpu.ops.wrap_dp_resident import (
+            get_wrap_dp_consensus_resident,
+            get_wrap_dp_fused2_resident,
+            get_wrap_dp_fused_resident,
+        )
+
+        if kind == "counts2":
+            return get_wrap_dp_fused2_resident(b_pad, r_pad)
+        if kind == "counts":
+            return get_wrap_dp_fused_resident(b_pad, u_pad, r_pad)
+        return get_wrap_dp_consensus_resident(b_pad, u_pad, r_pad, factor)
 
     def begin_batch(self, orgs: list[np.ndarray]) -> None:
         """Upload the batch's read arrays once; counts-mode chunks then
@@ -300,12 +322,15 @@ class WrapDPBatcher:
             # interpret-mode cost scales with b_pad regardless of chunk
             # fill; shrink to the chunk (tests / CPU fallback only)
             b_pad = min(b_pad, max(128, 1 << (max(n, 1) - 1).bit_length()))
-        # resident path (counts modes): reads were uploaded once by
-        # begin_batch; ship only per-job (start, scal, unit) and gather
-        # the rep segments on device
+        if self.mesh is not None:
+            n_dev = int(self.mesh.devices.size)
+            b_pad = max(b_pad, n_dev)
+            b_pad = -(-b_pad // n_dev) * n_dev  # local shards equal-sized
+        # resident path: reads were uploaded once by begin_batch; ship
+        # only per-job (start, scal, unit) and gather the rep segments
+        # on device
         resident = (
-            mode in ("counts", "counts2")
-            and self._flat is not None
+            self._flat is not None
             and all(id(jobs[i].org) in self._offsets for i in chunk)
         )
         if resident:
@@ -354,7 +379,7 @@ class WrapDPBatcher:
                 # path moves host buffers an order of magnitude slower
                 # than device_put on proxied backends
                 if resident:
-                    fn = get_wrap_dp_fused2_resident(b_pad, r_pad)
+                    fn = self._fn("counts2", b_pad, u_pad, r_pad)
                     fused = fn(self._flat, *_put(starts, scal, units))
                 else:
                     fn = get_wrap_dp_fused2(b_pad, r_pad)
@@ -380,7 +405,7 @@ class WrapDPBatcher:
 
             with TIMERS.section("dp_fill"):
                 if resident:
-                    fn = get_wrap_dp_fused_resident(b_pad, u_pad, r_pad)
+                    fn = self._fn("counts", b_pad, u_pad, r_pad)
                     fused = fn(self._flat, *_put(starts, scal, units))
                 else:
                     fn = get_wrap_dp_fused(b_pad, u_pad, r_pad)
@@ -391,18 +416,25 @@ class WrapDPBatcher:
                     ("res", b_pad, u_pad) if resident
                     else (b_pad, r_pad, u_pad, "int32"),
                     buffers)
-        fn = get_wrap_dp_pallas(b_pad, u_pad, r_pad)
-        with TIMERS.section("dp_fill"):
-            moves, best = fn(*_put(scal, reps, units))
-        TIMERS.count("dp_jobs", len(chunk))
-        TIMERS.count("dp_chunks")
-        unit_lens = scal[:, 1].copy()
         # provable path bound: steps <= rep_len * (1 + ceil(MG/IP));
         # quantized to {2, 6} so at most two traceback programs per mode
         factor = 1 + max(
             -(-jobs[i].scheme[0] // jobs[i].scheme[2]) for i in chunk
         )
         factor = 2 if factor <= 2 else TB_FACTOR
+        if resident:
+            fn = self._fn("consensus", b_pad, u_pad, r_pad, factor)
+            with TIMERS.section("dp_fill"):
+                fused = fn(self._flat, *_put(starts, scal, units))
+            TIMERS.count("dp_jobs", len(chunk))
+            TIMERS.count("dp_chunks")
+            return (chunk, mode, (fused,), ("res", b_pad, u_pad), buffers)
+        fn = get_wrap_dp_pallas(b_pad, u_pad, r_pad)
+        with TIMERS.section("dp_fill"):
+            moves, best = fn(*_put(scal, reps, units))
+        TIMERS.count("dp_jobs", len(chunk))
+        TIMERS.count("dp_chunks")
+        unit_lens = scal[:, 1].copy()
         fused = traceback_consensus_batch(moves, reps, unit_lens, best, factor)
         return (chunk, mode, (fused,), (b_pad, r_pad, u_pad, "int32"), buffers)
 
@@ -424,6 +456,20 @@ class WrapDPBatcher:
         else:
             for row, idx in enumerate(chunk):
                 jobs[idx].result = (fused[row, :, :5], fused[row, :, 5:])
+
+
+class ShardedWrapDPBatcher(WrapDPBatcher):
+    """WrapDPBatcher whose resident kernels run under shard_map over a
+    device mesh: every chunk's job batch is split evenly across the
+    mesh's 'dp' axis (SURVEY.md 2.13 — reads/queries are the
+    embarrassingly parallel axis), the flat read array is replicated,
+    and each device fills its local shard with the same Pallas program.
+    Results concatenate back on the batch axis, so outputs are
+    bit-identical to the single-device batcher."""
+
+    def __init__(self, mesh):
+        super().__init__()
+        self.mesh = mesh
 
 
 class HostDPBatcher:
