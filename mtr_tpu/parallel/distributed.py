@@ -48,59 +48,41 @@ def run_file_sharded(
     cfg: MTRConfig = DEFAULT_CONFIG,
     process_index: int | None = None,
     process_count: int | None = None,
+    checkpoint: bool = False,
+    strict: bool = True,
 ):
     """Process this host's share of the reads; writes
     {out_path_prefix}.part{pid} plus a .meta file with the read indices
-    handled (for the deterministic merge)."""
-    from mtr_tpu.io.fasta import iter_fasta
-    from mtr_tpu.oracle.arena import Arena
-    from mtr_tpu.oracle.directional_index import fill_directional_index_with_end
-    from mtr_tpu.pipeline import ReadState, make_batcher, process_batch
+    handled (for the deterministic merge).
+
+    Delegates to pipeline.run_file with a round-robin read filter, so
+    the multi-host path inherits the single-process features verbatim:
+    compute/IO overlap thread, per-batch failure isolation
+    (strict=False), and exact checkpoint/resume (checkpoint=True resumes
+    from {out_path_prefix}.ckpt{pid}, appending to the part files)."""
+    from mtr_tpu.pipeline import run_file
 
     if process_index is None or process_count is None:
         process_index, process_count = init_distributed()
 
-    arena = Arena(cfg.max_input_length)
-    # honor cfg.backend exactly like the single-process path — a
-    # multi-host run on hosts without usable devices must still be able
-    # to use the host/hybrid engines
-    batcher = make_batcher(cfg)
-    batch: list[ReadState] = []
-    batch_rids: list[int] = []
-    out_f = open(f"{out_path_prefix}.part{process_index}", "w")
-    meta_f = open(f"{out_path_prefix}.meta{process_index}", "w")
-
-    def flush():
-        nonlocal batch, batch_rids
-        if not batch:
-            return
-        for rid, records in zip(batch_rids, process_batch(batch, batcher, cfg)):
-            meta_f.write(f"{rid}\t{len(records)}\n")
-            for rec in records:
-                out_f.write(rec.format_record() + "\n")
-        out_f.flush()
-        meta_f.flush()
-        batch = []
-        batch_rids = []
-
-    min_rsl = 100
-    for ridx, read in enumerate(iter_fasta(path, cfg.max_input_length)):
-        arena.load_read(read.codes)  # replay arena on every host (bit-exactness)
-        if ridx % process_count != process_index:
-            continue
-        L = read.length
-        org_eff = arena.org_input[: L + 1].copy()
-        rsl = min_rsl if L < min_rsl * 10 else L // 10
-        di, di_end, di_w = fill_directional_index_with_end(
-            arena, L, rsl, manhattan=cfg.manhattan_distance
+    ckpt_path = f"{out_path_prefix}.ckpt{process_index}" if checkpoint else None
+    mode = "a" if checkpoint and os.path.exists(ckpt_path or "") else "w"
+    out_f = open(f"{out_path_prefix}.part{process_index}", mode)
+    meta_f = open(f"{out_path_prefix}.meta{process_index}", mode)
+    try:
+        run_file(
+            path,
+            cfg,
+            out_f,
+            checkpoint=ckpt_path,
+            strict=strict,
+            read_filter=lambda r: r % process_count == process_index,
+            read_meta=lambda r, n: (
+                meta_f.write(f"{r}\t{n}\n"), meta_f.flush())[0],
         )
-        batch.append(ReadState(read, org_eff, di, di_end, di_w))
-        batch_rids.append(ridx)
-        if len(batch) >= cfg.reads_per_batch:
-            flush()
-    flush()
-    out_f.close()
-    meta_f.close()
+    finally:
+        out_f.close()
+        meta_f.close()
 
 
 def merge_outputs(out_path_prefix: str, process_count: int, out) -> None:

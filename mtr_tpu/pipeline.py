@@ -680,6 +680,7 @@ class ReadState:
     di: np.ndarray
     di_end: np.ndarray
     di_w: np.ndarray
+    ridx: int = -1   # file-order read index (multi-host merge key)
 
 
 def _wrap_dp_schemes(batcher, queries_with_candidates) -> None:
@@ -1001,6 +1002,8 @@ def run_file(
     checkpoint: str | None = None,
     strict: bool = True,
     record_sink=None,
+    read_filter=None,
+    read_meta=None,
 ):
     """Batched device-backed equivalent of handle_one_file.
 
@@ -1014,6 +1017,12 @@ def run_file(
     record_sink: optional callable receiving every emitted RepeatRecord
     (used by the --cluster stage, which needs fields such as freq_2mer
     that the 13-field text format does not carry).
+    read_filter: optional callable(ridx) -> bool selecting the reads
+    this process handles (multi-host sharding; the arena is still
+    replayed over every read for bit-exactness).  checkpoint counts
+    SELECTED reads only.
+    read_meta: optional callable(ridx, n_records) invoked per emitted
+    read (the multi-host merge needs per-read record counts).
     """
     import sys
 
@@ -1068,6 +1077,8 @@ def run_file(
 
                     out.write("\n")
                     pretty_print_alignment(st.org, rec, out)
+            if read_meta is not None:
+                read_meta(st.ridx, len(records))
             done_reads += 1
         out.flush()
         if checkpoint:
@@ -1094,9 +1105,13 @@ def run_file(
         pending = (t, states, holder)
 
     min_rsl = 100
+    own = 0
     for ridx, read in enumerate(iter_fasta(path, cfg.max_input_length)):
         arena.load_read(read.codes)  # keep arena reuse semantics even when skipping
-        if ridx < skip:
+        if read_filter is not None and not read_filter(ridx):
+            continue
+        own += 1
+        if own <= skip:
             continue
         L = read.length
         org_eff = arena.org_input[: L + 1].copy()
@@ -1120,7 +1135,7 @@ def run_file(
                 arena, L, rsl, manhattan=cfg.manhattan_distance,
                 di_compute=di_compute, use_native=cfg.use_native,
             )
-        batch.append(ReadState(read, org_eff, di, di_end, di_w))
+        batch.append(ReadState(read, org_eff, di, di_end, di_w, ridx))
         if len(batch) >= cfg.reads_per_batch:
             flush()
     flush()
