@@ -101,19 +101,19 @@ def ensure_reference():
     return r.returncode == 0 and os.path.exists(REF_BIN)
 
 
-def reference_golden(fasta):
+def reference_golden(fasta, pearson=False):
     """Reference output under the deterministic-allocator configuration
     (PARITY.md), cached beside the fasta."""
-    golden = fasta + ".refout"
+    golden = fasta + (".p.refout" if pearson else ".refout")
     if os.path.exists(golden) and os.path.getmtime(golden) >= os.path.getmtime(fasta):
         return golden
     if not ensure_reference():
         return None
     env = {**os.environ, "GLIBC_TUNABLES": "glibc.malloc.tcache_count=0"}
+    cmd = [REF_BIN] + (["-p"] if pearson else []) + [fasta]
     try:
         with open(golden, "w") as out:
-            r = subprocess.run(
-                [REF_BIN, fasta], stdout=out, env=env, timeout=3600)
+            r = subprocess.run(cmd, stdout=out, env=env, timeout=3600)
         ok = r.returncode == 0
     except Exception:  # incl. TimeoutExpired: never keep a partial golden
         ok = False
@@ -124,6 +124,45 @@ def reference_golden(fasta):
             pass
         return None
     return golden
+
+
+WORM = "/root/reference/test_multiple_TRs/data/worm_chrII_1.fasta"
+MULTI90K = "/root/reference/test_multiple_TRs/data/2_5_10_20_50_100_200_set.fasta"
+FASTA_STRUCT = "/tmp/mtr_bench_structured.fasta"
+
+
+def ensure_structured():
+    """Badread-style structured-error set (burst indels, homopolymer
+    slips, read-level identity spread) — equality must generalize beyond
+    rand_seq's independent errors (VERDICT r2 #8)."""
+    if os.path.exists(FASTA_STRUCT):
+        return
+    from mtr_tpu.testutil.structured_errors import write_structured_fasta
+
+    write_structured_fasta(FASTA_STRUCT, FASTA_STRUCT[:-6] + ".units",
+                           50, 12, 0.08, 600, 12, seed=4242)
+
+
+def _eqout_path(fasta, backend, pearson):
+    # always under /tmp: the fasta may live in the read-only reference
+    suffix = f".{backend}.p.eqout" if pearson else f".{backend}.eqout"
+    return os.path.join("/tmp", os.path.basename(fasta) + suffix)
+
+
+def equality_child(backend, fasta, pearson):
+    """Equality-only run: one pass, output to _eqout_path."""
+    import io
+
+    from mtr_tpu.config import MTRConfig
+    from mtr_tpu.pipeline import run_file
+
+    cfg = MTRConfig(backend=backend, manhattan_distance=not pearson)
+    buf = io.StringIO()
+    run_file(fasta, cfg, buf)
+    with open(_eqout_path(fasta, backend, pearson), "w") as f:
+        f.write(buf.getvalue())
+    print(json.dumps({"ok": True}))
+    return 0
 
 
 def preflight_device() -> bool:
@@ -284,6 +323,33 @@ def main():
     for fasta, backend in ((FASTA_200, b200), (FASTA_100, b100)):
         if backend:
             pairs.append((f"{fasta}.{backend}.out", reference_golden(fasta)))
+
+    # heterogeneous equality sets (VERDICT r2 #8): real Nanopore worm
+    # read, Pearson (-p) mode on the 7-type 90 kb fixture, and a
+    # Badread-style structured-error set — all run on the winning
+    # backend and folded into the published metric
+    import shutil
+
+    eq_backend = b200 or b100 or "host"
+    ensure_structured()
+    extra = []
+    for src, pearson in ((WORM, False), (MULTI90K, True),
+                         (FASTA_STRUCT, False)):
+        if not os.path.exists(src):
+            continue
+        fasta = src
+        if src.startswith("/root/reference"):
+            fasta = "/tmp/mtr_bench_" + os.path.basename(src)
+            if not os.path.exists(fasta):
+                shutil.copy(src, fasta)
+        extra.append((fasta, pearson))
+    n_eq_sets = 2
+    for fasta, pearson in extra:
+        args = ["--child-eq", eq_backend, fasta, "1" if pearson else "0"]
+        if run_child(args, timeout_s=1800) is not None:
+            pairs.append((_eqout_path(fasta, eq_backend, pearson),
+                          reference_golden(fasta, pearson)))
+            n_eq_sets += 1
     eq = equality_rate(pairs)
 
     if rate200 is None:
@@ -298,6 +364,7 @@ def main():
         "vs_baseline": round(rate200 / BASELINE_200x200_READS_PER_S, 3),
         "wrap_dp_gcups": gc,
         "output_equality_rate": eq,
+        "equality_sets": n_eq_sets,
         "singleTR_100x10": {
             "backend": b100,
             "reads_per_s": round(rate100, 3) if rate100 else None,
@@ -312,6 +379,9 @@ if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--child":
         sys.exit(child(sys.argv[2], sys.argv[3], int(sys.argv[4]),
                        int(sys.argv[5])))
+    if len(sys.argv) > 1 and sys.argv[1] == "--child-eq":
+        sys.exit(equality_child(sys.argv[2], sys.argv[3],
+                                sys.argv[4] == "1"))
     if len(sys.argv) > 1 and sys.argv[1] == "--gcups":
         sys.exit(child_gcups())
     sys.exit(main())

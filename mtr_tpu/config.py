@@ -46,13 +46,13 @@ class MTRConfig:
     # short reads lose to dispatch latency)
     device_di_threshold: int = 65_536
     pipeline_depth: int = 2    # read batches in flight (overlaps device pulls)
-    # backend == "device" can run DBG k-mer counting + greedy walks on
-    # device (ops/dbg_device.py); per-query host fallback keeps parity.
-    # Opt-in: production-sized walk batches are parity-exact but
-    # destabilize proxied TPU runtimes (long data-dependent while_loops
-    # can trip the worker watchdog), so the default walk engine is the
-    # native host one even under --backend device.
-    use_device_walks: bool = False
+    # backend == "device" runs DBG k-mer counting + greedy walks on
+    # device by default (ops/dbg_device.py); per-query host fallback
+    # keeps parity.  The walk/lookahead loops are BOUNDED fori_loops
+    # (masked no-ops after convergence), so proxied TPU runtimes no
+    # longer see data-dependent while_loops (their worker watchdogs
+    # killed long ones).  host/hybrid backends keep the native engine.
+    use_device_walks: bool = True
 
     def k_sweep(self, w: int) -> range:
         """k-mer range for the DBG sweep, by detected window width.

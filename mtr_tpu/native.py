@@ -17,6 +17,15 @@ import numpy as np
 _LIB = None
 _TRIED = False
 
+# MTR_TPU_THREADS caps the native worker count (0 = hardware
+# concurrency).  The scaling bench pins 1 thread/process so multi-process
+# efficiency is measured against a genuinely single-threaded baseline.
+_THREADS = int(os.environ.get("MTR_TPU_THREADS", "0"))
+
+
+def _nthreads(n: int) -> int:
+    return _THREADS if n == 0 and _THREADS > 0 else n
+
 
 class _BufPool:
     """Reusable, huge-page-backed scratch buffers keyed by use-site.
@@ -251,7 +260,7 @@ def dbg_walk_batch(orgs: list[np.ndarray], input_lens, qss, qes, ks, n_threads=0
         org_ptrs, _ip64(input_lens), _ip64(qss), _ip64(qes), _ip32(ks), n,
         _ip32(ff), _ip32(fp), _ip32(fu), _ip32(fs),
         _ip32(bf), _ip32(bp), _ip32(bu), _ip32(bs),
-        _ip32(fl), n_threads,
+        _ip32(fl), _nthreads(n_threads),
     )
     return dict(
         fwd_found=ff, fwd_period=fp, fwd_unit=fu, fwd_scores=fs,
@@ -293,7 +302,7 @@ def dbg_walk_batch2(org_arrays: list[np.ndarray], len_table, read_idx,
             org_table, _ip64(len_table), _ip32(read_idx),
             _ip32(qss), _ip32(qes), _ip32(ks), n,
             _ip32(frow), _ip32(brow), _ip32(fper), _ip32(bper), _ip32(flast),
-            _ip32(units), _ip32(scores), cap, n_threads,
+            _ip32(units), _ip32(scores), cap, _nthreads(n_threads),
         )
         if used <= cap:
             break
@@ -380,7 +389,7 @@ def wrap_dp_batch(orgs, qss, qes, units, unit_lens, schemes, modes, n_threads=0)
     lib.mtr_wrap_dp_batch(
         org_ptrs, _ip64(qss), _ip64(qes), _ip32(units), _ip32(unit_lens),
         _ip32(schemes), _ip32(modes), n,
-        _ip64(counts), _ip64(consensus), _ip64(missing), n_threads,
+        _ip64(counts), _ip64(consensus), _ip64(missing), _nthreads(n_threads),
     )
     return counts, consensus, missing
 

@@ -190,13 +190,19 @@ def make_sharded_sliding_l1(mesh, n_pad: int, k: int, halo: int, axis: str = "dp
     assert n_pad % n_dev == 0
     local_n = n_pad // n_dev
 
+    # when the halo exceeds a shard's length the stencil window spans
+    # SEVERAL right neighbors: hop the ring that many times, pulling one
+    # full block per hop (hop h delivers neighbor s+h+1's codes)
+    hops = max(1, -(-halo // local_n))
+
     def local_stencil(codes_local, w):
-        # halo exchange: my block needs the first `halo` codes of the
-        # RIGHT neighbor; ring-shift left edges one step leftward
-        edge = codes_local[:halo]
         perm = [(i, (i - 1) % n_dev) for i in range(n_dev)]
-        halo_in = jax.lax.ppermute(edge, axis, perm)
-        ext = jnp.concatenate([codes_local, halo_in])
+        blocks = []
+        cur = codes_local
+        for _ in range(hops):
+            cur = jax.lax.ppermute(cur, axis, perm)
+            blocks.append(cur)
+        ext = jnp.concatenate([codes_local] + blocks)[: local_n + halo]
         n4k = 4**k
         D = jnp.zeros(local_n, jnp.int32)
         for lo in range(0, n4k, _CHUNK):
@@ -237,6 +243,32 @@ def sliding_l1_sharded(vals: np.ndarray, w: int, n_out: int, mesh, k: int,
     fn = _sharded_cache_get(mesh, n_pad, k, halo)
     D = np.asarray(fn(codes, w))
     return D[:n_out].astype(np.int64)
+
+
+def make_di_manhattan_sharded(mesh):
+    """di_compute plug-in for fill_directional_index_with_end that runs
+    the Manhattan sliding-L1 stencil POSITION-SHARDED over the mesh
+    (SURVEY.md 2.13 long-context row; the stencil being sharded is
+    fill_directional_index.c:171-295).  Bit-identical to the
+    single-device op: exact integer prefix sums + ring halo exchange."""
+
+    def di_compute(buf, di_len: int, w: int, k: int, rsl: int):
+        di_tmp = np.full(di_len, -1.0)
+        n_i = di_len - w - rsl - k + 1
+        if n_i <= 0:
+            return di_tmp
+        n_pos = n_i + 3 * w - 1
+        kk = 1
+        vmax = int(buf[:n_pos].max()) if n_pos > 0 else 0
+        while 4**kk <= vmax:
+            kk += 1
+        D = sliding_l1_sharded(buf, w, n_i + w, mesh, kk)
+        d01 = D[:n_i]
+        d12 = D[w : w + n_i]
+        di_tmp[w : w + n_i] = (d01 - d12) / float(2 * w)
+        return di_tmp
+
+    return di_compute
 
 
 _SHARDED_CACHE: dict = {}

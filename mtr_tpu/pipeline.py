@@ -590,8 +590,11 @@ class HybridDPBatcher:
             t.join(None if self._first_done else self.budget_s)
             over_budget = t.is_alive()
             if over_budget:
-                # the dispatch thread cannot be cancelled; let it finish
-                # (results are discarded) but stop feeding the device
+                # the dispatch thread cannot be cancelled; ABANDON it (a
+                # late completion writes bit-identical results, so the
+                # race is value-free) and stop feeding the device.  Its
+                # padding buffers stay owned by the abandoned chunks and
+                # are never reused.
                 import sys
 
                 print(
@@ -600,7 +603,6 @@ class HybridDPBatcher:
                     f"engine for the rest of this run",
                     file=sys.stderr,
                 )
-                t.join()
             if err and self.device_ok:
                 import sys
 
@@ -995,6 +997,34 @@ def process_batch(states: list[ReadState], batcher: WrapDPBatcher, cfg: MTRConfi
     return out
 
 
+@functools.lru_cache(maxsize=4)
+def _device_di_compute_cached(manhattan: bool):
+    """Long reads compute the DI sweep on device (the sliding histograms
+    dominate their runtime); pairing/redundancy stay host-sequential for
+    parity.  On multi-device meshes the Manhattan stencil shards read
+    POSITIONS with a ring halo exchange (sequence parallelism,
+    SURVEY.md 2.13; the stencil is fill_directional_index.c:171-295)."""
+    import jax
+
+    from mtr_tpu.ops.directional_index import (
+        di_manhattan_device,
+        di_pearson_device,
+        make_di_manhattan_sharded,
+    )
+
+    if manhattan:
+        if jax.device_count() > 1:
+            from mtr_tpu.parallel.mesh import make_mesh
+
+            return make_di_manhattan_sharded(make_mesh())
+        return di_manhattan_device
+    return di_pearson_device
+
+
+def _device_di_compute(cfg: MTRConfig):
+    return _device_di_compute_cached(cfg.manhattan_distance)
+
+
 def run_file(
     path: str,
     cfg: MTRConfig = DEFAULT_CONFIG,
@@ -1118,18 +1148,7 @@ def run_file(
         rsl = min_rsl if L < min_rsl * 10 else L // 10
         di_compute = None
         if cfg.backend == "device" and L >= cfg.device_di_threshold:
-            # long reads compute the DI sweep on device (the sliding
-            # histograms dominate their runtime); pairing/redundancy
-            # stay host-sequential for parity
-            from mtr_tpu.ops.directional_index import (
-                di_manhattan_device,
-                di_pearson_device,
-            )
-
-            di_compute = (
-                di_manhattan_device if cfg.manhattan_distance
-                else di_pearson_device
-            )
+            di_compute = _device_di_compute(cfg)
         with TIMERS.section("range"):
             di, di_end, di_w = fill_directional_index_with_end(
                 arena, L, rsl, manhattan=cfg.manhattan_distance,
