@@ -38,7 +38,7 @@ BASELINE_100x10_READS_PER_S = 17.0
 N_READS_200 = int(os.environ.get("MTR_BENCH_READS_200", "20"))
 N_READS_100 = int(os.environ.get("MTR_BENCH_READS", "100"))
 N_REPS = int(os.environ.get("MTR_BENCH_REPS", "2"))
-PREFLIGHT_S = int(os.environ.get("MTR_BENCH_PREFLIGHT_S", "900"))
+PREFLIGHT_S = int(os.environ.get("MTR_BENCH_PREFLIGHT_S", "420"))
 FASTA_200 = "/tmp/mtr_bench_200x200.fasta"
 FASTA_100 = "/tmp/mtr_bench_100x10.fasta"
 REF_BIN = "/tmp/refbuild/mTR"
@@ -165,22 +165,47 @@ def equality_child(backend, fasta, pearson):
     return 0
 
 
-def preflight_device() -> bool:
-    code = (
-        "import numpy as np, jax, jax.numpy as jnp\n"
-        "from jax.experimental import pallas as pl\n"
-        "def k(x_ref, o_ref): o_ref[...] = x_ref[...] * 2\n"
-        "f = jax.jit(lambda x: pl.pallas_call(k, out_shape=jax.ShapeDtypeStruct((8,128), jnp.int32))(x))\n"
-        "print(int(np.asarray(f(np.ones((8,128), np.int32)))[0,0]))\n"
-    )
+_PALLAS_CODE = (
+    "import numpy as np, jax, jax.numpy as jnp\n"
+    "from jax.experimental import pallas as pl\n"
+    "def k(x_ref, o_ref): o_ref[...] = x_ref[...] * 2\n"
+    "f = jax.jit(lambda x: pl.pallas_call(k, out_shape=jax.ShapeDtypeStruct((8,128), jnp.int32))(x))\n"
+    "print(int(np.asarray(f(np.ones((8,128), np.int32)))[0,0]))\n"
+)
+_XLA_CODE = (
+    "import numpy as np, jax, jax.numpy as jnp\n"
+    "print(int(np.asarray(jax.jit(lambda x: x * 2)"
+    "(jnp.ones((8, 128), jnp.int32)))[0, 0]))\n"
+)
+
+
+def _probe(code, budget):
     try:
         r = subprocess.run(
             [sys.executable, "-c", code], capture_output=True,
-            timeout=PREFLIGHT_S, cwd=REPO, env={**os.environ, **_CHILD_ENV},
+            timeout=budget, cwd=REPO, env={**os.environ, **_CHILD_ENV},
         )
         return r.returncode == 0 and b"2" in r.stdout
     except subprocess.TimeoutExpired:
         return False
+
+
+def preflight_device():
+    """Returns "pallas" (full device path), "xla" (Mosaic wedged but
+    plain XLA alive -> MTR_TPU_XLA_DP engines), or None (no device).
+
+    Probe ORDER matters on this proxy: a hung Pallas compile has been
+    observed to poison the server for ALL subsequent programs until the
+    server restarts.  So: (1) plain-XLA probe establishes the device is
+    alive at all; (2) the Pallas probe runs with a bounded budget;
+    (3) if Pallas hung, a SECOND plain-XLA probe checks whether the
+    server survived it — if not, report no device rather than letting
+    the measurement children hang."""
+    if not _probe(_XLA_CODE, 300):
+        return None
+    if _probe(_PALLAS_CODE, PREFLIGHT_S):
+        return "pallas"
+    return "xla" if _probe(_XLA_CODE, 300) else None
 
 
 def child(backend, fasta, n_reads, n_reps):
@@ -213,12 +238,18 @@ def child_gcups():
     import numpy as np
 
     from mtr_tpu.pipeline import B_FUSED2
-    from mtr_tpu.ops.wrap_dp_fused2 import make_wrap_dp_fused2
 
     b, r_pad, unit_len = B_FUSED2, 4096, 100
     rng = np.random.default_rng(0)
     unit = rng.integers(0, 4, unit_len)
-    fn = make_wrap_dp_fused2(b, r_pad)
+    if os.environ.get("MTR_TPU_XLA_DP"):
+        from mtr_tpu.ops.wrap_dp_xla import make_wrap_dp_counts_xla
+
+        fn = make_wrap_dp_counts_xla(b, 128, r_pad)
+    else:
+        from mtr_tpu.ops.wrap_dp_fused2 import make_wrap_dp_fused2
+
+        fn = make_wrap_dp_fused2(b, r_pad)
 
     def inputs(rep_len):
         rep = np.tile(unit, rep_len // unit_len + 1)[:rep_len]
@@ -254,12 +285,12 @@ def child_gcups():
     return 0
 
 
-def run_child(args, timeout_s):
+def run_child(args, timeout_s, extra_env=None):
     try:
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__), *args],
             capture_output=True, timeout=timeout_s, cwd=REPO,
-            env={**os.environ, **_CHILD_ENV},
+            env={**os.environ, **_CHILD_ENV, **(extra_env or {})},
         )
     except subprocess.TimeoutExpired:
         return None
@@ -284,11 +315,15 @@ def equality_rate(pairs):
     return (match / total) if total else None
 
 
-def measure_set(fasta, n_reads, candidates, n_reps, timeout_s):
+def measure_set(fasta, n_reads, candidates, n_reps, timeout_s,
+                extra_env=None):
     results = {}
     for backend in candidates:
+        # the pure-device child has no self-degrade path (hybrid does),
+        # so cap how long a wedged proxy can stall it
+        budget = min(timeout_s, 2400) if backend == "device" else timeout_s
         r = run_child(["--child", backend, fasta, str(n_reads), str(n_reps)],
-                      timeout_s)
+                      budget, extra_env)
         if r is not None:
             results[backend] = r["dt"]
     if not results:
@@ -300,23 +335,27 @@ def measure_set(fasta, n_reads, candidates, n_reps, timeout_s):
 def main():
     ensure_sets()
     force = os.environ.get("MTR_BENCH_BACKEND")
+    extra_env = {}
     if force:
         candidates = [force]
     else:
         candidates = ["host"]
-        if preflight_device():
+        mode = preflight_device()
+        if mode:
             candidates.extend(["hybrid", "device"])
+        if mode == "xla":
+            extra_env = {"MTR_TPU_XLA_DP": "1"}
 
     # the north-star workload
     b200, rate200 = measure_set(FASTA_200, N_READS_200, candidates,
-                                N_REPS, timeout_s=5400)
+                                N_REPS, timeout_s=5400, extra_env=extra_env)
     # round-1 headline workload (comparability across rounds)
     b100, rate100 = measure_set(FASTA_100, N_READS_100, candidates,
-                                N_REPS, timeout_s=5400)
+                                N_REPS, timeout_s=5400, extra_env=extra_env)
 
     gc = None
     if "hybrid" in candidates or "device" in candidates or force in ("hybrid", "device"):
-        g = run_child(["--gcups"], timeout_s=3600)
+        g = run_child(["--gcups"], timeout_s=3600, extra_env=extra_env)
         gc = round(g["gcups"], 2) if g and g.get("gcups") is not None else None
 
     pairs = []

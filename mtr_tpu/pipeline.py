@@ -63,12 +63,12 @@ R_BUCKETS = (4096, 32768, 65536, 262144, 1048576)
 # MTR_TPU_MIN_PROGRAMS coarsens the set (proxied backends pay a large
 # per-program first-execution cost; bench mode sets this).
 U_BUCKETS_FUSED = (
-    (128, 512) if _os.environ.get("MTR_TPU_MIN_PROGRAMS")
-    else (8, 32, 128, 512)
+    (256, 512) if _os.environ.get("MTR_TPU_MIN_PROGRAMS")
+    else (8, 32, 128, 256, 512)
 )
 # batch rides the LANE dim in the fused kernel; B*u_pad bounds VMEM
 # (4 persistent planes + ~12 live temporaries per row step).
-B_FUSED = {8: 4096, 32: 2048, 128: 1024, 512: 256}
+B_FUSED = {8: 4096, 32: 2048, 128: 1024, 256: 512, 512: 256}
 # Counts-mode jobs with unit_len <= 128 take the v2 kernel
 # (ops/wrap_dp_fused2.py): jobs on sublanes, unit on the 128-lane vreg
 # span, int8 rep streaming.  One program per r bucket.
@@ -183,6 +183,15 @@ class WrapDPBatcher:
 
             return sharded_resident_fn(
                 self.mesh, kind, b_pad, u_pad, r_pad, factor)
+        if kind != "consensus" and _os.environ.get("MTR_TPU_XLA_DP"):
+            # pure-XLA counts engine: no Mosaic — survives proxied
+            # runtimes whose Pallas compile service is wedged while
+            # plain XLA still works (bench preflight sets this)
+            from mtr_tpu.ops.wrap_dp_xla import (
+                get_wrap_dp_counts_xla_resident,
+            )
+
+            return get_wrap_dp_counts_xla_resident(b_pad, u_pad, r_pad)
         from mtr_tpu.ops.wrap_dp_resident import (
             get_wrap_dp_consensus_resident,
             get_wrap_dp_fused2_resident,
@@ -256,8 +265,24 @@ class WrapDPBatcher:
 
     def run(self, jobs: list[DPJob]) -> None:
         uniq_jobs, remap = dedup_jobs(jobs)
-        self._run(uniq_jobs)
+        to_run = uniq_jobs
+        if (_os.environ.get("MTR_TPU_XLA_DP") and not _cpu_backend()
+                and self.mesh is None):
+            # no-Mosaic mode: the consensus path has no pure-XLA device
+            # variant (its move tensor + bounded traceback are Pallas),
+            # so polish jobs take the native host engine
+            cons = [j for j in uniq_jobs if j.mode == "consensus"]
+            if cons:
+                from mtr_tpu import native
+
+                if native.available():
+                    HostDPBatcher()._run(cons)
+                    to_run = [j for j in uniq_jobs
+                              if j.mode != "consensus"]
+        self._run(to_run)
         if len(uniq_jobs) != len(jobs):
+            # results live on the job objects; remap indexes the intact
+            # uniq_jobs list
             for job, ui in zip(jobs, remap):
                 job.result = uniq_jobs[ui].result
 
