@@ -589,16 +589,27 @@ class HybridDPBatcher:
 
         uniq_jobs, remap = dedup_jobs(jobs)
 
-        def to_device(j):
+        cells = [
+            (j.qe - j.qs + 1) * len(j.unit) if j.mode == "counts" else -1
+            for j in uniq_jobs
+        ]
+        thr = self.cell_threshold
+        if self.device_ok and cells and max(cells) < thr:
+            # medium workloads (e.g. 3 kb reads: biggest jobs ~100 k
+            # cells) would otherwise never touch the device; one octave
+            # down keeps the dispatch count tiny while the host tail
+            # still overlaps.  Bit-exact either way — the split is pure
+            # scheduling.
+            thr = max(thr >> 3, 1 << 15)
+
+        def to_device(c):
             # consensus-mode (polish) jobs stay on host: their device
             # path returns per-column consensus tensors whose pulls are
             # orders of magnitude bigger than the fused counts row
-            return (self.device_ok and j.mode == "counts"
-                    and (j.qe - j.qs + 1) * len(j.unit)
-                    >= self.cell_threshold)
+            return self.device_ok and c >= thr
 
-        big = [j for j in uniq_jobs if to_device(j)]
-        small = [j for j in uniq_jobs if not to_device(j)]
+        big = [j for j, c in zip(uniq_jobs, cells) if to_device(c)]
+        small = [j for j, c in zip(uniq_jobs, cells) if not to_device(c)]
         if big:
             err: list = []
             t0 = time.time()

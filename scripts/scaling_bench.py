@@ -118,7 +118,7 @@ def run_vdev(n: int) -> float:
         ".astype(np.int32)\n"
         "fn(codes, 640).block_until_ready()  # compile\n"
         "ts = []\n"
-        "for _ in range(3):\n"
+        "for _ in range(5):\n"
         "    t0 = time.time()\n"
         "    fn(codes, 640).block_until_ready()\n"
         "    ts.append(time.time() - t0)\n"
@@ -135,8 +135,10 @@ def run_vdev(n: int) -> float:
 
 def main() -> int:
     ensure_fixture()
-    t1 = run_procs(1)
-    t2 = run_procs(2)
+    # best-of-2: single-shot wall times on a 2-core shared container
+    # fluctuate +-30%
+    t1 = min(run_procs(1), run_procs(1))
+    t2 = min(run_procs(2), run_procs(2))
     proc_eff = t1 / (2 * t2)
 
     # weak scaling: per-device work fixed, ideal keeps t(n) flat; the
