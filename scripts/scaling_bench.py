@@ -32,18 +32,22 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO not in sys.path:
     sys.path.insert(0, REPO)  # script mode puts scripts/ first, not REPO
-FASTA = "/tmp/mtr_scaling_100x10.fasta"
-N_READS = 128
+FASTA = "/tmp/mtr_scaling_200x50.fasta"
+N_READS = 32
 
 
 def ensure_fixture():
+    # fewer, LONGER reads (18 kb: 200 bp x 50 + 4 kb flanks): per-read
+    # compute dwarfs the per-process serial fraction (FASTA parse +
+    # bit-exactness arena replay over every read), which on 3 kb reads
+    # was ~40% of the 1-process wall time and polluted the efficiency
     if os.path.exists(FASTA):
         return
     sys.path.insert(0, REPO)
     from mtr_tpu.testutil.rand_seq import write_fasta
 
-    write_fasta(FASTA, FASTA + ".units", 100, 10, 1.6, 9.0, 3.8,
-                1000, 1000, N_READS, seed=777)
+    write_fasta(FASTA, FASTA + ".units", 200, 50, 9.7, 2.9, 7.5,
+                4000, 4000, N_READS, seed=777)
 
 
 def worker(pid: int, n: int, port: int, prefix: str) -> int:
@@ -150,8 +154,9 @@ def main() -> int:
     weak = {n: vdev[1] / vdev[n] for n in vdev}
 
     result = {
-        "workload": f"{N_READS} reads, 100bp unit x 10, host engine, "
-                    "1 native thread/process",
+        "workload": f"{N_READS} reads of 18 kb (200bp unit x 50, "
+                    "Nanopore profile), host engine, "
+                    "1 native thread/process, 1 pinned core/process",
         "procs": {"t1": round(t1, 2), "t2": round(t2, 2),
                   "reads_per_s_1p": round(N_READS / t1, 2),
                   "reads_per_s_2p": round(N_READS / t2, 2),
