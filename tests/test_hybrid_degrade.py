@@ -1,0 +1,48 @@
+"""Hybrid engine self-degradation (VERDICT r2 weak #3): a wedged or
+failing device leg must not hang or kill the run — the batch re-runs on
+the host engine and the device is disabled for the rest of the run."""
+
+import io
+import os
+import time
+
+import numpy as np
+import pytest
+
+import mtr_tpu.pipeline as P
+from mtr_tpu.config import MTRConfig
+
+
+FASTA = "/root/reference/test_multiple_TRs/data/3_5.fasta"
+
+
+def _hybrid_run(monkeypatch, wedge):
+    if not os.path.exists(FASTA):
+        pytest.skip("reference fixtures unavailable")
+    monkeypatch.setenv("MTR_TPU_DEVICE_BUDGET_S", "1")
+    batcher = P.HybridDPBatcher(cell_threshold=1)  # everything "big"
+
+    def bad_run(self, jobs):
+        if wedge:
+            time.sleep(3)  # exceeds the 1 s budget
+        else:
+            raise RuntimeError("synthetic device failure")
+
+    monkeypatch.setattr(P.WrapDPBatcher, "_run", bad_run)
+    monkeypatch.setattr(P, "make_batcher", lambda cfg: batcher)
+    buf = io.StringIO()
+    P.run_file(FASTA, MTRConfig(backend="hybrid"), buf)
+    assert batcher.device_ok is False
+    return buf.getvalue()
+
+
+def test_hybrid_degrades_on_device_error(monkeypatch, capsys):
+    out = _hybrid_run(monkeypatch, wedge=False)
+    golden = os.path.join(os.path.dirname(__file__), "golden", "3_5.out")
+    assert out == open(golden).read()
+
+
+def test_hybrid_degrades_on_budget_overrun(monkeypatch):
+    out = _hybrid_run(monkeypatch, wedge=True)
+    golden = os.path.join(os.path.dirname(__file__), "golden", "3_5.out")
+    assert out == open(golden).read()
