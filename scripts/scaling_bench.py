@@ -33,7 +33,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO not in sys.path:
     sys.path.insert(0, REPO)  # script mode puts scripts/ first, not REPO
 FASTA = "/tmp/mtr_scaling_200x50.fasta"
-N_READS = 32
+N_READS = 64
 
 
 def ensure_fixture():
