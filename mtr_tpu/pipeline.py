@@ -263,8 +263,8 @@ class WrapDPBatcher:
         starts = native.POOL.get(f"res_starts_{b_pad}_{s}", (b_pad,), np.int32)
         return (units, scal, starts)
 
-    def run(self, jobs: list[DPJob]) -> None:
-        uniq_jobs, remap = dedup_jobs(jobs)
+    def run(self, jobs: list[DPJob], deduped: bool = False) -> None:
+        uniq_jobs, remap = (jobs, None) if deduped else dedup_jobs(jobs)
         to_run = uniq_jobs
         if (_os.environ.get("MTR_TPU_XLA_DP") and not _cpu_backend()
                 and self.mesh is None):
@@ -280,7 +280,7 @@ class WrapDPBatcher:
                     to_run = [j for j in uniq_jobs
                               if j.mode != "consensus"]
         self._run(to_run)
-        if len(uniq_jobs) != len(jobs):
+        if remap is not None and len(uniq_jobs) != len(jobs):
             # results live on the job objects; remap indexes the intact
             # uniq_jobs list
             for job, ui in zip(jobs, remap):
@@ -505,7 +505,10 @@ class HostDPBatcher:
     def begin_batch(self, orgs: list[np.ndarray]) -> None:
         pass  # host engine reads segments in place
 
-    def run(self, jobs: list[DPJob]) -> None:
+    def run(self, jobs: list[DPJob], deduped: bool = False) -> None:
+        if deduped:
+            self._run(jobs)
+            return
         uniq_jobs, remap = dedup_jobs(jobs)
         self._run(uniq_jobs)
         if len(uniq_jobs) != len(jobs):
@@ -584,10 +587,11 @@ class HybridDPBatcher:
         if self.device_ok:
             self.device.begin_batch(orgs)
 
-    def run(self, jobs: list[DPJob]) -> None:
+    def run(self, jobs: list[DPJob], deduped: bool = False) -> None:
         import threading
 
-        uniq_jobs, remap = dedup_jobs(jobs)
+        uniq_jobs, remap = (
+            (jobs, None) if deduped else dedup_jobs(jobs))
 
         cells = [
             (j.qe - j.qs + 1) * len(j.unit) if j.mode == "counts" else -1
@@ -653,7 +657,7 @@ class HybridDPBatcher:
             self._first_done = True
         else:
             self.host._run(small)
-        if len(uniq_jobs) != len(jobs):
+        if remap is not None and len(uniq_jobs) != len(jobs):
             for job, ui in zip(jobs, remap):
                 job.result = uniq_jobs[ui].result
 
@@ -748,7 +752,9 @@ def _wrap_dp_schemes(batcher, queries_with_candidates) -> None:
                 dpjobs.append(j131)
                 sel_jobs.append((j113, j131))
             meta.append((cand, ui))
-    batcher.run(dpjobs)
+    # dpjobs is already unique under the batcher's dedup key (one job
+    # pair per (org, range, unit); schemes differ within a pair)
+    batcher.run(dpjobs, deduped=True)
     f32 = np.float32
     # one scheme selection per unique candidate
     winners: list = []
@@ -925,7 +931,9 @@ def process_batch(states: list[ReadState], batcher: WrapDPBatcher, cfg: MTRConfi
                 cand.kmer = q.k
                 cand.rep_period = period
                 cand.string = ent[0]
-                cand.string_score = scores_rows[row][:period].tolist()
+                # ndarray copy, not tolist(): ~10x cheaper per candidate
+                # (all consumers index it; RepeatRecord.copy() listifies)
+                cand.string_score = scores_rows[row][:period].copy()
                 cand.freq_2mer = list(ent[1])
                 q.candidates.append(cand)
             queries.append(q)
@@ -1015,11 +1023,12 @@ def process_batch(states: list[ReadState], batcher: WrapDPBatcher, cfg: MTRConfi
         L = st.read.length
         di, di_end, di_w = st.di, st.di_end, st.di_w
         accepted: list[RepeatRecord] = []
+        n_queries = 0
         for qs in np.nonzero((di_end > -1) & (di_end < L))[0]:
             qe = int(di_end[qs])
             if qe < 0:
                 continue  # suppressed by an earlier acceptance this pass
-            TIMERS.count("queries")  # reference query_counter: per range
+            n_queries += 1  # reference query_counter: per live range
             rr = range_result.get((ridx, qs, qe))
             if rr is not None and rr.repeat_len > 0 and rr.rep_start + MIN_PERIOD * MIN_NUM_FREQ_UNIT < rr.rep_end:
                 accepted.append(rr)
@@ -1028,6 +1037,7 @@ def process_batch(states: list[ReadState], batcher: WrapDPBatcher, cfg: MTRConfi
                 di[kill] = -1.0
                 di_end[kill] = -1
                 di_w[kill] = -1
+        TIMERS.count("queries", n_queries)
         with TIMERS.section("chaining"):
             out.append(chain_records(accepted))
     return out
