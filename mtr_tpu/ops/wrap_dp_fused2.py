@@ -12,21 +12,33 @@ VPU latency, which dominates the row loop on real hardware:
     "read a per-job column" operation (wrap column, deletion-chain
     origin, argmax payload) is ONE gather instead of a packed scan or a
     masked one-hot reduction.
-  * The in-row deletion chain for VALUES is a flag-carrying segmented
-    Kogge-Stone max-scan (7 levels).  No BIG/K integer packing, hence no
-    rep_len*MG bound: any scheme fits.
-  * The deletion-chain COPY for aux planes (m / ins / start-row) is one
-    origin-index scan (nearest non-deletion cell to the left) plus three
-    lane gathers.  v1 needed three packed scans.
+  * The in-row deletion chain for VALUES rides the MXU + one plain
+    max-scan: segment ids (inclusive prefix count of chain boundaries =
+    match cells and j==0) are ONE bf16 matmul against an upper-triangular
+    ones matrix — exact, counts <= 128 — and the segmented running max
+    becomes an UNsegmented Kogge-Stone max over
+    enc = (seg << SB) + m + ip*j (lexicographic (segment, value) order:
+    earlier segments can never win).  3 ops/level instead of the 8 of a
+    flag-carrying segmented scan, and the cumsum is VPU-free.
+  * The deletion-chain COPY for aux payloads is one origin-index scan
+    (nearest non-deletion cell to the left) plus lane gathers.
+  * For rep buckets <= 16384 the (num_matches, num_insertions) payloads
+    PACK into one plane (m << PKS | ins, both < 2^PKS, 2*PKS <= 30 bits),
+    removing a third of the aux propagation ops on the hottest bucket.
   * No per-row reductions: the running argmax
     (wrap_around_DP.c:276-281, first strictly-greater cell in row-major
-    order) is tracked per (job, lane) — value, first row, aux payload —
-    with 7 parallel selects per row, and resolved to the row-major-first
-    cell once at the end: lanes tied at the global max are broken by
-    smallest row, then smallest lane, exactly reproducing the scalar
-    scan order.
+    order) is tracked per (job, lane) and resolved to the
+    row-major-first cell once at the end: lanes tied at the global max
+    are broken by smallest row, then smallest lane, exactly reproducing
+    the scalar scan order.
   * rep codes stream as int8 blocks ((B, r_tile) per grid step), 4x less
     host->device traffic than v1's int32 rows.
+
+Value-packing bound: enc needs (seg <= 128) * 2^SB + max(m) + ip*127 <
+2^31 with SB sized for max(m) <= 5*r_pad (MG <= 5 for every production
+scheme — (1,1,3)/(1,3,1)/(5,1,1), wrap_around_DP.c:357-429 and
+consensus.c:1062); at the largest bucket (r_pad = 2^20) SB = 23 and
+enc < 2^30 + 2^23.
 
 Interface matches make_wrap_dp_fused: fn(scal, rep, unit) -> (B, 15)
 int32 [m, x, ins, del, scanned, i_final, done | wrap, best, max_i,
@@ -53,10 +65,11 @@ def _take(plane, idx):
     return jnp.take_along_axis(plane, idx, axis=1)
 
 
-def _fused2_kernel(b: int, r_tile: int):
-    def kernel(scal_ref, rep_ref, unit_ref, out_ref,
-               prev_ref, auxm_ref, auxi_ref, auxs_ref,
-               bv_ref, bi_ref, bm_ref, bins_ref, bsi_ref):
+def _fused2_kernel(b: int, r_tile: int, r_pad: int, packed: bool):
+    SB = int(5 * r_pad + 3 * (U_PAD - 1)).bit_length()
+    PKS = int(r_pad).bit_length()  # m, ins <= r_pad < 2^PKS
+
+    def body(scal_ref, rep_ref, unit_ref, out_ref, refs):
         rt = pl.program_id(0)
         n_rt = pl.num_programs(0)
 
@@ -69,8 +82,14 @@ def _fused2_kernel(b: int, r_tile: int):
         jidx = jax.lax.broadcasted_iota(jnp.int32, (b, U_PAD), 1)
         zero = jnp.zeros((b, U_PAD), jnp.int32)
         # per-level scan edge masks are row-invariant: hoisted out of
-        # the row loop (saves 14 compares per row)
+        # the row loop
         edges = [jidx < (1 << s) for s in range(7)]
+        # upper-triangular ones (incl. diagonal): one bf16 matmul turns
+        # the per-row boundary flags into inclusive segment ids (exact:
+        # counts <= 128 << bf16/f32 integer range)
+        tri_r = jax.lax.broadcasted_iota(jnp.int32, (U_PAD, U_PAD), 0)
+        tri_c = jax.lax.broadcasted_iota(jnp.int32, (U_PAD, U_PAD), 1)
+        triu = (tri_r <= tri_c).astype(jnp.bfloat16)
         # per-job planes, broadcast along lanes (recomputed per grid
         # step: a handful of ops per r_tile rows)
         ulm1 = jnp.maximum(unit_len - 1, 0) + zero  # gather index plane
@@ -80,7 +99,6 @@ def _fused2_kernel(b: int, r_tile: int):
         ipj = ip * jidx
         sub_ok = jidx < unit_len                    # bool (B, U)
         j0 = jidx == 0
-        notj0 = jnp.logical_not(j0)
         unit = unit_ref[...].astype(jnp.int32)
         rep_blk = rep_ref[...].astype(jnp.int32)    # (B, r_tile)
         base = rt * r_tile
@@ -88,52 +106,51 @@ def _fused2_kernel(b: int, r_tile: int):
 
         @pl.when(rt == 0)
         def _():
-            prev_ref[...] = zero
-            auxm_ref[...] = zero
-            auxi_ref[...] = zero
-            auxs_ref[...] = zero
-            bv_ref[...] = zero
-            bi_ref[...] = zero
-            bm_ref[...] = zero
-            bins_ref[...] = zero
-            bsi_ref[...] = zero
+            for ref in refs.values():
+                ref[...] = zero
 
         @pl.when(base < max_rep_len)
         def _():
             def row_step(r, _):
                 i = base + r + 1                    # 1-origin DP row
-                prev = prev_ref[...]
+                prev = refs["prev"][...]
                 rep_c = _take(rep_blk, zero + r)    # (B, U) bcast of rep[i]
                 mi = unit == rep_c
                 wrapv = _take(prev, ulm1)           # prev row last column
                 diag = jnp.where(j0, wrapv, pltpu.roll(prev, 1, axis=1))
-                m_nm = jnp.maximum(
-                    zero, jnp.maximum(diag - mp_p, prev - ip_p)
+                dmp = diag - mp_p
+                m = jnp.where(
+                    mi, diag + mg_p,
+                    jnp.maximum(zero, jnp.maximum(dmp, prev - ip_p)),
                 )
-                m = jnp.where(mi, diag + mg_p, m_nm)
 
-                # --- value deletion chain: segmented KS max-scan of
-                # t = m + ip*j, segments reset at match cells and j==0 ---
-                t = m + ipj
-                # flag rides int32: Mosaic cannot rotate i1 vectors
-                fi = jnp.logical_or(mi, j0).astype(jnp.int32)
+                # --- value deletion chain: segment ids via MXU cumsum,
+                # then ONE plain max-scan over (seg << SB) + m + ip*j ---
+                fi = jnp.logical_or(mi, j0)
+                seg = jnp.dot(
+                    fi.astype(jnp.bfloat16), triu,
+                    preferred_element_type=jnp.float32,
+                ).astype(jnp.int32)
+                segs = seg << SB
+                enc = (m + ipj) + segs
                 for s in range(7):
-                    sh = 1 << s
-                    edge = edges[s]
-                    t_r = jnp.where(edge, NEG, pltpu.roll(t, sh, axis=1))
-                    f_r = jnp.where(edge, 1, pltpu.roll(fi, sh, axis=1))
-                    t = jnp.where(fi > 0, t, jnp.maximum(t, t_r))
-                    fi = fi | f_r
-                chain = t - ipj
-                row = jnp.where(mi, m, chain)
+                    # shifted-in 0 can never win: every lane's enc
+                    # carries seg >= 1 in the high bits
+                    enc = jnp.maximum(
+                        enc,
+                        jnp.where(edges[s], 0, pltpu.roll(enc, 1 << s, axis=1)),
+                    )
+                # match cells open their own segment, so chain == m
+                # there: no post-scan select needed
+                row = (enc - segs) - ipj
                 ok = jnp.logical_and(sub_ok, i <= rep_len)
                 row = jnp.where(ok, row, zero)
 
                 # --- traceback-precedence source selection on final
                 # values (wrap_around_DP.c:294-333) ---
-                pos = jnp.logical_and(row > 0, ok)
+                pos = row > 0                       # ok-masked already
                 is_m = jnp.logical_and(mi, pos)
-                e2v = row == diag - mp_p
+                e2v = row == dmp
                 not_mi = jnp.logical_not(mi)
                 sel_x = jnp.logical_and(jnp.logical_and(not_mi, e2v), pos)
                 rem = jnp.logical_and(
@@ -147,61 +164,83 @@ def _fused2_kernel(b: int, r_tile: int):
                 sel_diag = jnp.logical_or(is_m, sel_x)
 
                 # --- aux base from diag/up predecessors ---
-                auxm = auxm_ref[...]
-                auxi = auxi_ref[...]
-                auxs = auxs_ref[...]
-                wa_m = _take(auxm, ulm1)
-                wa_i = _take(auxi, ulm1)
-                wa_s = _take(auxs, ulm1)
-                daux_m = jnp.where(j0, wa_m, pltpu.roll(auxm, 1, axis=1))
-                daux_i = jnp.where(j0, wa_i, pltpu.roll(auxi, 1, axis=1))
-                daux_s = jnp.where(j0, wa_s, pltpu.roll(auxs, 1, axis=1))
                 mi_i = mi.astype(jnp.int32)
-                base_m = jnp.where(
-                    sel_diag, daux_m + mi_i,
-                    jnp.where(pos, auxm, zero)  # sel_i or sel_d (ignored)
-                )
-                base_i = jnp.where(
-                    sel_diag, daux_i, jnp.where(pos, auxi + 1, zero)
-                )
-                base_s = jnp.where(
-                    sel_diag, daux_s,
-                    jnp.where(pos, auxs, zero + i)  # value-0 cells: start=i
-                )
+                if packed:
+                    auxP = refs["auxP"][...]
+                    auxs = refs["auxs"][...]
+                    wa_P = _take(auxP, ulm1)
+                    wa_s = _take(auxs, ulm1)
+                    dP = jnp.where(j0, wa_P, pltpu.roll(auxP, 1, axis=1))
+                    dS = jnp.where(j0, wa_s, pltpu.roll(auxs, 1, axis=1))
+                    base_P = jnp.where(
+                        sel_diag, dP + (mi_i << PKS),
+                        jnp.where(pos, auxP + 1, zero)  # sel_i: ins += 1
+                    )
+                    base_S = jnp.where(
+                        sel_diag, dS,
+                        jnp.where(pos, auxs, zero + i)  # value-0: start=i
+                    )
+                    planes = {"auxP": base_P, "auxs": base_S}
+                else:
+                    auxm = refs["auxm"][...]
+                    auxi = refs["auxi"][...]
+                    auxs = refs["auxs"][...]
+                    wa_m = _take(auxm, ulm1)
+                    wa_i = _take(auxi, ulm1)
+                    wa_s = _take(auxs, ulm1)
+                    daux_m = jnp.where(j0, wa_m, pltpu.roll(auxm, 1, axis=1))
+                    daux_i = jnp.where(j0, wa_i, pltpu.roll(auxi, 1, axis=1))
+                    daux_s = jnp.where(j0, wa_s, pltpu.roll(auxs, 1, axis=1))
+                    base_m = jnp.where(
+                        sel_diag, daux_m + mi_i,
+                        jnp.where(pos, auxm, zero)
+                    )
+                    base_i = jnp.where(
+                        sel_diag, daux_i, jnp.where(pos, auxi + 1, zero)
+                    )
+                    base_s = jnp.where(
+                        sel_diag, daux_s, jnp.where(pos, auxs, zero + i)
+                    )
+                    planes = {"auxm": base_m, "auxi": base_i, "auxs": base_s}
 
                 # --- deletion-chain copy: nearest non-deletion origin ---
                 org = jnp.where(sel_d, -1, jidx)
                 for s in range(7):
-                    sh = 1 << s
                     org = jnp.maximum(
                         org,
-                        jnp.where(edges[s], -1, pltpu.roll(org, sh, axis=1)),
+                        jnp.where(edges[s], -1, pltpu.roll(org, 1 << s, axis=1)),
                     )
                 open_ = org < 0
                 orgc = jnp.maximum(org, 0)
-                pay_m = _take(base_m, orgc)
-                pay_i = _take(base_i, orgc)
-                pay_s = _take(base_s, orgc)
                 # last valid column is provably chain-free; wrapped lanes
                 # chain into the SAME row's last column
                 org_last = _take(orgc, ulm1)
-                fin_m = jnp.where(open_, _take(base_m, org_last), pay_m)
-                fin_i = jnp.where(open_, _take(base_i, org_last), pay_i)
-                fin_s = jnp.where(open_, _take(base_s, org_last), pay_s)
+                fins = {}
+                for name, plane in planes.items():
+                    pay = _take(plane, orgc)
+                    fins[name] = jnp.where(open_, _take(plane, org_last), pay)
 
                 # --- per-(job, lane) argmax tracking: strict >, so the
                 # FIRST row achieving a lane's max is kept ---
-                better = row > bv_ref[...]
-                bv_ref[...] = jnp.where(better, row, bv_ref[...])
-                bi_ref[...] = jnp.where(better, zero + i, bi_ref[...])
-                bm_ref[...] = jnp.where(better, fin_m, bm_ref[...])
-                bins_ref[...] = jnp.where(better, fin_i, bins_ref[...])
-                bsi_ref[...] = jnp.where(better, fin_s, bsi_ref[...])
+                better = row > refs["bv"][...]
+                refs["bv"][...] = jnp.where(better, row, refs["bv"][...])
+                refs["bi"][...] = jnp.where(better, zero + i, refs["bi"][...])
+                if packed:
+                    refs["bP"][...] = jnp.where(
+                        better, fins["auxP"], refs["bP"][...])
+                    refs["bsi"][...] = jnp.where(
+                        better, fins["auxs"], refs["bsi"][...])
+                else:
+                    refs["bm"][...] = jnp.where(
+                        better, fins["auxm"], refs["bm"][...])
+                    refs["bins"][...] = jnp.where(
+                        better, fins["auxi"], refs["bins"][...])
+                    refs["bsi"][...] = jnp.where(
+                        better, fins["auxs"], refs["bsi"][...])
 
-                prev_ref[...] = row
-                auxm_ref[...] = fin_m
-                auxi_ref[...] = fin_i
-                auxs_ref[...] = fin_s
+                refs["prev"][...] = row
+                for name, plane in fins.items():
+                    refs[name][...] = plane
                 return 0
 
             rows = jnp.minimum(max_rep_len - base, r_tile)
@@ -211,8 +250,8 @@ def _fused2_kernel(b: int, r_tile: int):
         def _():
             # resolve the row-major-first global argmax: max value, then
             # smallest row, then smallest lane
-            bv = bv_ref[...]
-            bi = bi_ref[...]
+            bv = refs["bv"][...]
+            bi = refs["bi"][...]
             jidx2 = jax.lax.broadcasted_iota(jnp.int32, (b, U_PAD), 1)
             gmax = jnp.max(bv, axis=1, keepdims=True)          # (B, 1)
             cand = bv == gmax
@@ -226,14 +265,24 @@ def _fused2_kernel(b: int, r_tile: int):
             # Mosaic's dynamic_gather needs full-plane indices: broadcast,
             # gather, then take lane 0 (all lanes identical)
             jstar_p = jstar + jnp.zeros((b, U_PAD), jnp.int32)
-            arg_m = jnp.take_along_axis(bm_ref[...], jstar_p, axis=1)[:, 0:1]
-            arg_i = jnp.take_along_axis(bins_ref[...], jstar_p, axis=1)[:, 0:1]
-            arg_s = jnp.take_along_axis(bsi_ref[...], jstar_p, axis=1)[:, 0:1]
+            if packed:
+                arg_P = jnp.take_along_axis(
+                    refs["bP"][...], jstar_p, axis=1)[:, 0:1]
+                arg_m = arg_P >> PKS
+                arg_i = arg_P & ((1 << PKS) - 1)
+            else:
+                arg_m = jnp.take_along_axis(
+                    refs["bm"][...], jstar_p, axis=1)[:, 0:1]
+                arg_i = jnp.take_along_axis(
+                    refs["bins"][...], jstar_p, axis=1)[:, 0:1]
+            arg_s = jnp.take_along_axis(
+                refs["bsi"][...], jstar_p, axis=1)[:, 0:1]
             max_i = jnp.where(found, min_bi, 0)
             max_j = jnp.where(found, jstar + 1, 0)
             ulm1b = (jnp.maximum(scal_ref[:, 1:2] - 1, 0)
                      + jnp.zeros((b, U_PAD), jnp.int32))
-            wrap_val = jnp.take_along_axis(prev_ref[...], ulm1b, axis=1)[:, 0:1]
+            wrap_val = jnp.take_along_axis(
+                refs["prev"][...], ulm1b, axis=1)[:, 0:1]
             zcol = jnp.zeros((b, 1), jnp.int32)
             out_ref[...] = jnp.concatenate(
                 [wrap_val, gmax, max_i, max_j,
@@ -244,7 +293,15 @@ def _fused2_kernel(b: int, r_tile: int):
                 axis=1,
             )
 
-    return kernel
+    names = (
+        ("prev", "auxP", "auxs", "bv", "bi", "bP", "bsi") if packed
+        else ("prev", "auxm", "auxi", "auxs", "bv", "bi", "bm", "bins", "bsi")
+    )
+
+    def kernel(scal_ref, rep_ref, unit_ref, out_ref, *scratch):
+        body(scal_ref, rep_ref, unit_ref, out_ref, dict(zip(names, scratch)))
+
+    return kernel, len(names)
 
 
 def make_wrap_dp_fused2(b: int, r_pad: int, interpret: bool = False,
@@ -263,7 +320,8 @@ def make_wrap_dp_fused2(b: int, r_pad: int, interpret: bool = False,
     while r_pad % r_tile:
         r_tile -= 1
     n_rt = r_pad // r_tile
-    kernel = _fused2_kernel(b, r_tile)
+    packed = r_pad <= 16384  # m, ins pair fits one int32 plane
+    kernel, n_scratch = _fused2_kernel(b, r_tile, r_pad, packed)
 
     def fn(scal, rep, unit):
         out = pl.pallas_call(
@@ -277,12 +335,12 @@ def make_wrap_dp_fused2(b: int, r_pad: int, interpret: bool = False,
             out_specs=pl.BlockSpec((b, 16), lambda rt: (0, 0)),
             out_shape=jax.ShapeDtypeStruct((b, 16), jnp.int32),
             scratch_shapes=[pltpu.VMEM((b, U_PAD), jnp.int32)
-                            for _ in range(9)],
+                            for _ in range(n_scratch)],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",),
-                # 9 persistent (B,128) i32 state planes + temporaries:
-                # the 16M default scoped-vmem limit caps B at ~1k; v5e
-                # has far more physical VMEM
+                # persistent (B,128) i32 state planes + temporaries: the
+                # 16M default scoped-vmem limit caps B at ~1k; v5e has
+                # far more physical VMEM
                 vmem_limit_bytes=100 * 1024 * 1024,
             ),
             interpret=interpret,

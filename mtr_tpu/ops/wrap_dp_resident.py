@@ -48,6 +48,20 @@ def get_wrap_dp_fused2_resident(b: int, r_pad: int):
 
 
 @functools.lru_cache(maxsize=64)
+def get_wrap_dp_fused2w_resident(b: int, r_pad: int, u_span: int = 256):
+    from mtr_tpu.ops.wrap_dp_fused2w import make_wrap_dp_fused2w
+
+    interpret = jax.default_backend() == "cpu"
+    inner = make_wrap_dp_fused2w(b, r_pad, u_span, interpret=interpret)
+
+    def fn(flat, starts, scal, unit):
+        rep = _gather_segments(flat, starts, r_pad)
+        return inner(scal, rep, unit)
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=64)
 def get_wrap_dp_consensus_resident(b: int, u_pad: int, r_pad: int,
                                    factor: int):
     """Resident consensus-mode pipeline in ONE dispatch: gather reps,

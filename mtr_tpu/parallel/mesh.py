@@ -84,6 +84,16 @@ def sharded_resident_fn(mesh: Mesh, kind: str, b: int, u_pad: int,
             rep = _gather_segments(flat, starts, r_pad)
             return inner(scal, rep, unit)
 
+    elif kind == "counts2w":
+        from mtr_tpu.ops.wrap_dp_fused2w import make_wrap_dp_fused2w
+
+        inner = make_wrap_dp_fused2w(lb, r_pad, u_pad,
+                                     interpret=interpret)
+
+        def local(flat, starts, scal, unit):
+            rep = _gather_segments(flat, starts, r_pad)
+            return inner(scal, rep, unit)
+
     elif kind == "counts":
         from mtr_tpu.ops.wrap_dp_fused import make_wrap_dp_fused
 

@@ -73,6 +73,11 @@ B_FUSED = {8: 4096, 32: 2048, 128: 1024, 256: 512, 512: 256}
 # (ops/wrap_dp_fused2.py): jobs on sublanes, unit on the 128-lane vreg
 # span, int8 rep streaming.  One program per r bucket.
 B_FUSED2 = 2048
+# unit_len 129-256 takes the wide right-aligned v2 kernel
+# (ops/wrap_dp_fused2w.py) when the job fits its value-packing bound;
+# oversized jobs (MG=5 with huge spans — not produced by the reference
+# pipeline) fall back to the v1 sublane kernel.
+B_FUSED2W = 1024
 # Consensus-mode (polish) jobs keep the move-tensor + device-traceback
 # path: their per-column consensus/missing matrices cannot ride the
 # fused argmax propagation, and they are a small minority of jobs.
@@ -105,6 +110,14 @@ def _bucket(v: int, buckets) -> int:
         if v <= b:
             return b
     return buckets[-1]
+
+
+def _fits_w(job: "DPJob", rep_len: int, r_pad: int) -> bool:
+    """Value-packing bound of the wide v2 kernel (wrap_dp_fused2w.w_limit)."""
+    from mtr_tpu.ops.wrap_dp_fused2w import w_limit
+
+    return (rep_len * job.scheme[0] + job.scheme[2] * 255
+            < w_limit(256, r_pad))
 
 
 @functools.lru_cache(maxsize=1)
@@ -195,11 +208,14 @@ class WrapDPBatcher:
         from mtr_tpu.ops.wrap_dp_resident import (
             get_wrap_dp_consensus_resident,
             get_wrap_dp_fused2_resident,
+            get_wrap_dp_fused2w_resident,
             get_wrap_dp_fused_resident,
         )
 
         if kind == "counts2":
             return get_wrap_dp_fused2_resident(b_pad, r_pad)
+        if kind == "counts2w":
+            return get_wrap_dp_fused2w_resident(b_pad, r_pad, u_pad)
         if kind == "counts":
             return get_wrap_dp_fused_resident(b_pad, u_pad, r_pad)
         return get_wrap_dp_consensus_resident(b_pad, u_pad, r_pad, factor)
@@ -297,6 +313,9 @@ class WrapDPBatcher:
             elif len(job.unit) <= 128:
                 # v2 kernel: unit on the 128-lane vreg span
                 u_pad, mode = 128, "counts2"
+            elif len(job.unit) <= 256 and _fits_w(job, rep_len, r_pad):
+                # wide v2 kernel: unit right-aligned over two vregs
+                u_pad, mode = 256, "counts2w"
             else:
                 u_pad = _bucket(len(job.unit), U_BUCKETS_FUSED)
                 mode = "counts"
@@ -309,6 +328,8 @@ class WrapDPBatcher:
                 cap = min(cap, B_FOR_U[u_pad])
             elif mode == "counts2":
                 cap = B_FUSED2
+            elif mode == "counts2w":
+                cap = B_FUSED2W
             else:
                 cap = B_FUSED[u_pad]
             idxs.sort(key=lambda i: jobs[i].qe - jobs[i].qs)
@@ -341,6 +362,8 @@ class WrapDPBatcher:
             b_pad = B_FOR_U[u_pad]
         elif mode == "counts2":
             b_pad = B_FUSED2
+        elif mode == "counts2w":
+            b_pad = B_FUSED2W
         else:
             b_pad = B_FUSED[u_pad]
         if _cpu_backend():
@@ -372,7 +395,7 @@ class WrapDPBatcher:
             # buffers would pay the lazy-memory first-touch cost (see
             # native._BufPool), and shape-keyed reuse alone would race
             # in-flight dispatches
-            dtype = np.int8 if mode == "counts2" else np.int32
+            dtype = np.int8 if mode in ("counts2", "counts2w") else np.int32
             buffers = self._acquire(b_pad, r_pad, u_pad, dtype)
             reps, units, scal = buffers
             reps.fill(-1)
@@ -393,21 +416,27 @@ class WrapDPBatcher:
             scal[row, 0] = rep_len
             scal[row, 1] = len(job.unit)
             scal[row, 2:5] = job.scheme
-        if mode == "counts2":
-            from mtr_tpu.ops.wrap_dp_fused2 import get_wrap_dp_fused2
-            from mtr_tpu.ops.wrap_dp_resident import (
-                get_wrap_dp_fused2_resident,
-            )
-
+        if mode in ("counts2", "counts2w"):
             with TIMERS.section("dp_fill"):
                 # explicit async device_put: the jit argument-transfer
                 # path moves host buffers an order of magnitude slower
                 # than device_put on proxied backends
                 if resident:
-                    fn = self._fn("counts2", b_pad, u_pad, r_pad)
+                    fn = self._fn(mode, b_pad, u_pad, r_pad)
                     fused = fn(self._flat, *_put(starts, scal, units))
-                else:
+                elif mode == "counts2":
+                    from mtr_tpu.ops.wrap_dp_fused2 import (
+                        get_wrap_dp_fused2,
+                    )
+
                     fn = get_wrap_dp_fused2(b_pad, r_pad)
+                    fused = fn(*_put(scal, reps, units))
+                else:
+                    from mtr_tpu.ops.wrap_dp_fused2w import (
+                        get_wrap_dp_fused2w,
+                    )
+
+                    fn = get_wrap_dp_fused2w(b_pad, r_pad, u_pad)
                     fused = fn(*_put(scal, reps, units))
             TIMERS.count("dp_jobs", len(chunk))
             TIMERS.count("dp_chunks")

@@ -91,6 +91,15 @@ def test_fused2_empty_and_degenerate():
     check2(jobs, r_pad=128)
 
 
+def test_fused2_unpacked_bucket():
+    # r_pad > 16384 switches to the unpacked aux path (three payload
+    # planes instead of the packed (m, ins) pair) — same results
+    rng = np.random.default_rng(17)
+    jobs = rand_jobs(rng, 8, 300, 40)
+    jobs += rand_jobs(rng, 4, 200, 25, scheme=(1, 3, 1), periodic=False)
+    check2(jobs, r_pad=32768)
+
+
 @pytest.mark.slow
 def test_fused2_large_fuzz():
     rng = np.random.default_rng(16)
