@@ -49,6 +49,13 @@ _CHILD_ENV = {
     "MALLOC_MMAP_MAX_": "0",
     "MALLOC_TRIM_THRESHOLD_": "1073741824",
     "JAX_COMPILATION_CACHE_DIR": os.path.expanduser("~/.cache/mtr_tpu_jax"),
+    # the proxy's FIRST Pallas compile in a process has been measured to
+    # stall up to ~12 min before the service warms (subsequent shapes
+    # take seconds); the preflight already rules out a true wedge, so
+    # children get a budget that tolerates the cold start instead of
+    # falsely degrading the hybrid to host mid-warmup
+    "MTR_TPU_DEVICE_BUDGET_S": os.environ.get(
+        "MTR_TPU_DEVICE_BUDGET_S", "2000"),
 }
 REPO = os.path.dirname(os.path.abspath(__file__))
 

@@ -607,27 +607,59 @@ int mtr_dbg_walk(const int32_t* org, int64_t input_len, int64_t qs, int64_t qe,
     int64_t t0 = timed ? now_ns() : 0;
 
     static thread_local std::vector<int64_t> vals;
-    query_vals(org, input_len, k, qs, qe, vals);
-
-    int64_t t1 = timed ? now_ns() : 0;
-
     static thread_local CountTable t;
-    t.reset(vals.size());
     int64_t max_freq = -1;
-    for (int64_t v : vals) {
-        int64_t c = t.add(v);
-        if (c > max_freq) max_freq = c;
+    int64_t t1 = t0;
+    if (timed) {
+        // exact per-stage attribution (-c): separate vals pass (the
+        // reference's init_inputString) and count pass
+        query_vals(org, input_len, k, qs, qe, vals);
+        t1 = now_ns();
+        t.reset(vals.size());
+        for (int64_t v : vals) {
+            int64_t c = t.add(v);
+            if (c > max_freq) max_freq = c;
+        }
+    } else {
+        // fast path: rolling codes feed the table directly (one pass,
+        // no vals memory traffic); vals is only materialized if the
+        // max-node list will actually be consulted
+        t.reset(qe - qs + 1);
+        int64_t km_end = std::min(qe, input_len - k + 1);
+        if (km_end < qs) km_end = qs;
+        int64_t p4k1 = 1;
+        for (int i = 0; i < k - 1; i++) p4k1 *= 4;
+        int64_t code = 0;
+        for (int64_t i = qs; i < km_end; i++) {
+            if (i == qs) {
+                code = 0;
+                for (int j = 0; j < k; j++) code = code * 4 + org[i + j];
+            } else {
+                code = (code % p4k1) * 4 + org[i + k - 1];
+            }
+            int64_t c = t.add(code);
+            if (c > max_freq) max_freq = c;
+        }
+        for (int64_t i = km_end; i <= qe; i++) {
+            int64_t c = t.add(org[i]);
+            if (c > max_freq) max_freq = c;
+        }
     }
     // max-node list in first-occurrence order; counts are decremented in
     // the live table (the reference never restores them — consensus.c:
-    // 156-164, 199-222 — so the walk sees maxFreq-1 for listed nodes)
+    // 156-164, 199-222 — so the walk sees maxFreq-1 for listed nodes).
+    // The list is only CONSULTED when max_freq > 5 (consensus.c:532);
+    // below that the table is discarded unwalked, so the scan is skipped.
     static thread_local std::vector<int64_t> max_nodes;
     max_nodes.clear();
-    for (int64_t v : vals) {
-        if (t.freq(v) == max_freq) {
-            max_nodes.push_back(v);
-            t.dec(v);
-            if ((int)max_nodes.size() >= MAX_NUM_MAXNODES) break;
+    if (max_freq > MIN_NUM_FREQ_UNIT) {
+        if (!timed) query_vals(org, input_len, k, qs, qe, vals);
+        for (int64_t v : vals) {
+            if (t.freq(v) == max_freq) {
+                max_nodes.push_back(v);
+                t.dec(v);
+                if ((int)max_nodes.size() >= MAX_NUM_MAXNODES) break;
+            }
         }
     }
 
