@@ -332,12 +332,31 @@ class WrapDPBatcher:
                 cap = B_FUSED2W
             else:
                 cap = B_FUSED[u_pad]
-            idxs.sort(key=lambda i: jobs[i].qe - jobs[i].qs)
-            for lo in range(0, len(idxs), cap):
-                chunk = idxs[lo : lo + cap]
+            # kernel cost is b_pad x chunk_max_rep_len regardless of how
+            # many slots hold real jobs, so chunks are cut to keep
+            # rep_len homogeneous (longest first) and padded batches are
+            # quantized to a few shapes ({cap/16, cap/4, cap}) instead
+            # of always paying the full cap
+            idxs.sort(key=lambda i: jobs[i].qs - jobs[i].qe)
+            chunk: list[int] = []
+            chunk_max_rl = 0
+            for i in idxs:
+                rl = jobs[i].qe - jobs[i].qs + 1
+                if chunk and (
+                    len(chunk) >= cap
+                    or (rl * 4 < chunk_max_rl and len(chunk) >= 32)
+                ):
+                    pending.append(self._dispatch_chunk(
+                        jobs, chunk, r_pad, u_pad, mode, cap))
+                    chunk = []
+                if not chunk:
+                    chunk_max_rl = rl
+                chunk.append(i)
+            if chunk:
                 # dispatch is async: later chunks' host-side padding
                 # overlaps earlier chunks' device execution
-                pending.append(self._dispatch_chunk(jobs, chunk, r_pad, u_pad, mode))
+                pending.append(self._dispatch_chunk(
+                    jobs, chunk, r_pad, u_pad, mode, cap))
         # start all device->host transfers before blocking on any: each
         # blocking pull on a proxied TPU costs a full tunnel roundtrip,
         # async copies overlap with the remaining executions
@@ -350,7 +369,7 @@ class WrapDPBatcher:
         for item in pending:
             self._collect_chunk(jobs, *item)
 
-    def _dispatch_chunk(self, jobs, chunk, r_pad, u_pad, mode):
+    def _dispatch_chunk(self, jobs, chunk, r_pad, u_pad, mode, cap=None):
         from mtr_tpu.ops.wrap_dp_pallas import (
             get_wrap_dp_pallas,
             traceback_consensus_batch,
@@ -366,6 +385,14 @@ class WrapDPBatcher:
             b_pad = B_FUSED2W
         else:
             b_pad = B_FUSED[u_pad]
+        if cap is not None:
+            # quantized partial-fill shapes: padding slots cost full
+            # kernel time, so underfilled chunks shrink to the smallest
+            # quantum that holds them (3 program shapes per bucket)
+            for q in (max(8, cap // 16), max(8, cap // 4), cap):
+                if n <= q:
+                    b_pad = q
+                    break
         if _cpu_backend():
             # interpret-mode cost scales with b_pad regardless of chunk
             # fill; shrink to the chunk (tests / CPU fallback only)
@@ -898,18 +925,16 @@ def _collect_queries(states, cfg):
     return tuple(np.concatenate([c[i] for c in chunks]) for i in range(5))
 
 
-def process_batch(states: list[ReadState], batcher: WrapDPBatcher, cfg: MTRConfig):
+def walk_batch(states: list[ReadState], cfg: MTRConfig):
+    """Phase 2 — all (range, k) walk queries for a batch.  Pure host
+    (or device-walk) work with no DP-batcher dependency, so run_file
+    overlaps it with the PREVIOUS batch's device DP wait."""
     from mtr_tpu import native
     from mtr_tpu.oracle.dbg import freq_2mer_array
     from mtr_tpu.utils.encoding import decode_bases
 
-    # register the batch's reads with the device engine (resident
-    # feeding): uploaded once, gathered per chunk on device
-    batcher.begin_batch([st.org for st in states])
+    _t_period = time.time()  # walk share of "Computing periods"
 
-    _t_period = time.time()  # measured "Computing periods" (main.c:113)
-
-    # phase 2: all (range, k) queries; native walks with compact outputs
     ridx_a, qs_a, qe_a, w_a, k_a = _collect_queries(states, cfg)
     n_q = len(ridx_a)
     queries: list[RangeQuery] = []  # materialized for walk hits only
@@ -988,6 +1013,21 @@ def process_batch(states: list[ReadState], batcher: WrapDPBatcher, cfg: MTRConfi
         init_s, count_s, _walk_s = native.read_stage_timers()
         TIMERS.add("initialize", init_s)
         TIMERS.add("count_table", count_s)
+    TIMERS.count("speculative_queries", n_q)
+    TIMERS.add("period", time.time() - _t_period)
+    return queries
+
+
+def process_batch(states: list[ReadState], batcher: WrapDPBatcher,
+                  cfg: MTRConfig, queries: list[RangeQuery] | None = None):
+    # register the batch's reads with the device engine (resident
+    # feeding): uploaded once, gathered per chunk on device
+    batcher.begin_batch([st.org for st in states])
+
+    _t_period = time.time()  # DP share of "Computing periods" (main.c:113)
+
+    if queries is None:
+        queries = walk_batch(states, cfg)
 
     # phase 3+4a: scheme selection for every candidate
     _wrap_dp_schemes(batcher, [(q, states[q.read_idx].org) for q in queries])
@@ -995,7 +1035,6 @@ def process_batch(states: list[ReadState], batcher: WrapDPBatcher, cfg: MTRConfi
     # phase 4b: direction selection + gates -> per-query result; build polish set
     # (queries without candidates were never materialized = cleared records)
     polish_set = []
-    TIMERS.count("speculative_queries", n_q)
     for q in queries:
         if not q.candidates or q.found == 0:
             q.result = None
@@ -1149,20 +1188,24 @@ def run_file(
         except FileNotFoundError:
             skip = 0
 
-    # Batch compute runs in a worker thread so the NEXT batch's FASTA
-    # read + DI pass (main thread) overlaps it; emission stays in order
-    # because each flush drains the previous batch first.
+    # Two-stage batch pipeline: stage A (walks — pure host CPU) and
+    # stage B (DP + polish + selection — owns the batcher, mostly
+    # device wait) run in worker threads.  A(k) overlaps B(k-1)'s
+    # device wait, and the main thread's FASTA read + DI pass overlaps
+    # both; emission stays in order because B batches are serialized
+    # and drained before the next B starts.
     import threading
 
-    pending = None  # (thread, states, holder)
+    pending_a = None  # (thread, states, holderA)
+    pending_b = None  # (thread, states, holderB)
 
-    def drain():
-        nonlocal pending, done_reads
-        if pending is None:
+    def drain_b():
+        nonlocal pending_b, done_reads
+        if pending_b is None:
             return
-        t, states, holder = pending
+        t, states, holder = pending_b
         t.join()
-        pending = None
+        pending_b = None
         if "error" in holder:
             if strict:
                 raise holder["error"]
@@ -1190,24 +1233,49 @@ def run_file(
             with open(checkpoint, "w") as f:
                 f.write(str(done_reads + skip))
 
+    def promote_a():
+        """Wait for the pending walk stage, then start its DP stage
+        (after the previous DP batch fully drains)."""
+        nonlocal pending_a, pending_b
+        if pending_a is None:
+            return
+        t, states, ha = pending_a
+        t.join()
+        pending_a = None
+        drain_b()
+        hb: dict = {}
+
+        def work_b():
+            try:
+                if "error" in ha:
+                    raise ha["error"]
+                hb["results"] = process_batch(
+                    states, batcher, cfg, queries=ha["queries"])
+            except Exception as e:  # pragma: no cover - failure isolation
+                hb["error"] = e
+
+        t2 = threading.Thread(target=work_b)
+        t2.start()
+        pending_b = (t2, states, hb)
+
     def flush():
-        nonlocal batch, pending
+        nonlocal batch, pending_a
         if not batch:
             return
-        drain()
+        promote_a()
         states = batch
         batch = []
-        holder: dict = {}
+        ha: dict = {}
 
-        def work():
+        def work_a():
             try:
-                holder["results"] = process_batch(states, batcher, cfg)
+                ha["queries"] = walk_batch(states, cfg)
             except Exception as e:  # pragma: no cover - failure isolation
-                holder["error"] = e
+                ha["error"] = e
 
-        t = threading.Thread(target=work)
+        t = threading.Thread(target=work_a)
         t.start()
-        pending = (t, states, holder)
+        pending_a = (t, states, ha)
 
     min_rsl = 100
     own = 0
@@ -1233,4 +1301,5 @@ def run_file(
         if len(batch) >= cfg.reads_per_batch:
             flush()
     flush()
-    drain()
+    promote_a()
+    drain_b()

@@ -55,10 +55,10 @@ def test_sharded_pipeline_polish_path():
     consensus_chunks = []
     orig = P.WrapDPBatcher._dispatch_chunk
 
-    def spy(self, jobs, chunk, r_pad, u_pad, mode):
+    def spy(self, jobs, chunk, r_pad, u_pad, mode, cap=None):
         if mode == "consensus" and isinstance(self, P.ShardedWrapDPBatcher):
             consensus_chunks.append(len(chunk))
-        return orig(self, jobs, chunk, r_pad, u_pad, mode)
+        return orig(self, jobs, chunk, r_pad, u_pad, mode, cap)
 
     cfg = MTRConfig(backend="device", reads_per_batch=4, use_native=False)
     with tempfile.TemporaryDirectory() as td:
