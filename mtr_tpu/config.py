@@ -40,6 +40,10 @@ class MTRConfig:
     # ---- framework-only knobs (no reference equivalent) ----
     backend: str = "auto"     # "oracle" | "device" | "host" | "hybrid" | "auto"
     reads_per_batch: int = 64  # device pipeline batching granularity
+    # long-read workloads also cut batches by total bases so the
+    # two-stage pipeline (walks overlapping the previous batch's device
+    # DP) engages within a file of few huge reads
+    bases_per_batch: int = 1 << 19
     use_native: bool = True    # use the C++ host runtime when available
     # reads at least this long compute their DI passes on device when
     # backend == "device" (the sliding histograms dominate long reads;

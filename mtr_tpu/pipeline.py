@@ -1279,6 +1279,7 @@ def run_file(
 
     min_rsl = 100
     own = 0
+    batch_bases = 0
     for ridx, read in enumerate(iter_fasta(path, cfg.max_input_length)):
         arena.load_read(read.codes)  # keep arena reuse semantics even when skipping
         if read_filter is not None and not read_filter(ridx):
@@ -1298,8 +1299,11 @@ def run_file(
                 di_compute=di_compute, use_native=cfg.use_native,
             )
         batch.append(ReadState(read, org_eff, di, di_end, di_w, ridx))
-        if len(batch) >= cfg.reads_per_batch:
+        batch_bases += L
+        if (len(batch) >= cfg.reads_per_batch
+                or batch_bases >= cfg.bases_per_batch):
             flush()
+            batch_bases = 0
     flush()
     promote_a()
     drain_b()

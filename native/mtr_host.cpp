@@ -403,27 +403,28 @@ constexpr int MAX_TIEBREAKS = 1024;
 constexpr int MAX_NUM_MAXNODES = 100;
 
 // Flat open-addressing k-mer counter with epoch-stamped slots: clearing
-// between queries is O(1) (bump the epoch), lookups are one or two cache
-// lines.  Thread-local; grows to the largest query seen.
+// between queries is O(1) (bump the epoch), and the (key, stamp) pair
+// packs into ONE u64 so the common probe is a single load (k-mer codes
+// fit 32 bits: 4^15 = 2^30).  Thread-local; grows to the largest query
+// seen.  Large tables (tens of kb ranges) are memory-latency bound, so
+// the build loop prefetches slots a fixed code-stream distance ahead.
 struct CountTable {
-    std::vector<int64_t> keys;
-    std::vector<int64_t> vals;
-    std::vector<uint32_t> stamp;
+    std::vector<uint64_t> keystamp;  // key (low 32) | stamp (high 32)
+    std::vector<int32_t> vals;
     uint32_t epoch = 0;
     uint64_t mask = 0;
 
     void reset(size_t width) {
         size_t want = 16;
         while (want < width * 2) want <<= 1;
-        if (want > keys.size()) {
-            keys.assign(want, 0);
+        if (want > keystamp.size()) {
+            keystamp.assign(want, 0);
             vals.assign(want, 0);
-            stamp.assign(want, 0);
             epoch = 0;
         }
-        mask = keys.size() - 1;
+        mask = keystamp.size() - 1;
         if (++epoch == 0) {  // stamp wrap: hard clear
-            std::fill(stamp.begin(), stamp.end(), 0u);
+            std::fill(keystamp.begin(), keystamp.end(), 0ull);
             epoch = 1;
         }
     }
@@ -433,34 +434,43 @@ struct CountTable {
         return (size_t)(h & mask);
     }
 
+    inline void prefetch(int64_t node) const {
+        __builtin_prefetch(&keystamp[slot(node)], 1);
+    }
+
     inline int64_t add(int64_t node) {  // returns new count
         size_t s = slot(node);
+        const uint64_t want = ((uint64_t)epoch << 32) | (uint32_t)node;
         for (;;) {
-            if (stamp[s] != epoch) {
-                stamp[s] = epoch;
-                keys[s] = node;
+            uint64_t ks = keystamp[s];
+            if ((uint32_t)(ks >> 32) != epoch) {
+                keystamp[s] = want;
                 vals[s] = 1;
                 return 1;
             }
-            if (keys[s] == node) return ++vals[s];
+            if (ks == want) return ++vals[s];
             s = (s + 1) & mask;
         }
     }
 
     inline int64_t freq(int64_t node) const {
         size_t s = slot(node);
+        const uint64_t want = ((uint64_t)epoch << 32) | (uint32_t)node;
         for (;;) {
-            if (stamp[s] != epoch) return 0;
-            if (keys[s] == node) return vals[s];
+            uint64_t ks = keystamp[s];
+            if ((uint32_t)(ks >> 32) != epoch) return 0;
+            if (ks == want) return vals[s];
             s = (s + 1) & mask;
         }
     }
 
     inline void dec(int64_t node) {
         size_t s = slot(node);
+        const uint64_t want = ((uint64_t)epoch << 32) | (uint32_t)node;
         for (;;) {
-            if (stamp[s] != epoch) return;
-            if (keys[s] == node) { vals[s]--; return; }
+            uint64_t ks = keystamp[s];
+            if ((uint32_t)(ks >> 32) != epoch) return;
+            if (ks == want) { vals[s]--; return; }
             s = (s + 1) & mask;
         }
     }
@@ -629,13 +639,27 @@ int mtr_dbg_walk(const int32_t* org, int64_t input_len, int64_t qs, int64_t qe,
         if (km_end < qs) km_end = qs;
         int64_t p4k1 = 1;
         for (int i = 0; i < k - 1; i++) p4k1 *= 4;
-        int64_t code = 0;
+        // a second rolling code D positions ahead drives slot prefetch:
+        // large tables are memory-latency bound and the future code
+        // stream is fully known
+        const int64_t D = 16;
+        int64_t code = 0, lead = 0;
         for (int64_t i = qs; i < km_end; i++) {
             if (i == qs) {
                 code = 0;
                 for (int j = 0; j < k; j++) code = code * 4 + org[i + j];
+                if (qs + D < km_end) {
+                    lead = 0;
+                    for (int j = 0; j < k; j++)
+                        lead = lead * 4 + org[qs + D + j];
+                    t.prefetch(lead);
+                }
             } else {
                 code = (code % p4k1) * 4 + org[i + k - 1];
+                if (i + D < km_end) {
+                    lead = (lead % p4k1) * 4 + org[i + D + k - 1];
+                    t.prefetch(lead);
+                }
             }
             int64_t c = t.add(code);
             if (c > max_freq) max_freq = c;
@@ -654,7 +678,10 @@ int mtr_dbg_walk(const int32_t* org, int64_t input_len, int64_t qs, int64_t qe,
     max_nodes.clear();
     if (max_freq > MIN_NUM_FREQ_UNIT) {
         if (!timed) query_vals(org, input_len, k, qs, qe, vals);
-        for (int64_t v : vals) {
+        const size_t nvals = vals.size();
+        for (size_t ii = 0; ii < nvals; ii++) {
+            if (ii + 16 < nvals) t.prefetch(vals[ii + 16]);
+            int64_t v = vals[ii];
             if (t.freq(v) == max_freq) {
                 max_nodes.push_back(v);
                 t.dec(v);
