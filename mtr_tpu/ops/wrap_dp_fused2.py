@@ -70,8 +70,12 @@ def _fused2_kernel(b: int, r_tile: int, r_pad: int, packed: bool):
     PKS = int(r_pad).bit_length()  # m, ins <= r_pad < 2^PKS
 
     def body(scal_ref, rep_ref, unit_ref, out_ref, refs):
-        rt = pl.program_id(0)
-        n_rt = pl.num_programs(0)
+        # grid = (n_sub, n_rt): sub-chunks of b jobs ride the leading
+        # grid dim so ONE dispatch carries many rep_len-homogeneous
+        # groups, each bounded by its OWN max_rep_len (a sub-chunk of
+        # padding slots costs only its init/out steps)
+        rt = pl.program_id(1)
+        n_rt = pl.num_programs(1)
 
         rep_len = scal_ref[:, 0:1]                  # (B, 1)
         unit_len = scal_ref[:, 1:2]
@@ -305,16 +309,20 @@ def _fused2_kernel(b: int, r_tile: int, r_pad: int, packed: bool):
 
 
 def make_wrap_dp_fused2(b: int, r_pad: int, interpret: bool = False,
-                        r_tile: int = 128):
+                        r_tile: int = 128, n_sub: int = 1):
     # r_tile is capped at 128: the per-row rep-code broadcast is a lane
     # gather into the streamed (B, r_tile) block, and tpu.dynamic_gather
     # requires the gather dimension to span a single vreg (128 lanes).
-    """Batched fused wrap-DP v2 for a (B, 128, r_pad) bucket.
+    """Batched fused wrap-DP v2 for a (n_sub*b, 128, r_pad) bucket.
 
     Inputs:
-      scal (B, 8) int32: rep_len, unit_len, mg, mp, ip, 0, 0, 0
-      rep  (B, r_pad) int8 (pad -1), unit (B, 128) int8 (pad -2)
-    Output: (B, 15) int32, identical layout to make_wrap_dp_fused.
+      scal (n_sub*b, 8) int32: rep_len, unit_len, mg, mp, ip, 0, 0, 0
+      rep  (n_sub*b, r_pad) int8 (pad -1), unit (n_sub*b, 128) int8
+      (pad -2)
+    Output: (n_sub*b, 15) int32, layout of make_wrap_dp_fused.  Rows are
+    processed in b-sized sub-chunks, each row-bounded by its own max
+    rep_len (callers sort jobs longest-first so sub-chunks stay
+    homogeneous and padding slots are near-free).
     """
     r_tile = min(r_tile, r_pad)
     while r_pad % r_tile:
@@ -326,18 +334,18 @@ def make_wrap_dp_fused2(b: int, r_pad: int, interpret: bool = False,
     def fn(scal, rep, unit):
         out = pl.pallas_call(
             kernel,
-            grid=(n_rt,),
+            grid=(n_sub, n_rt),
             in_specs=[
-                pl.BlockSpec((b, 8), lambda rt: (0, 0)),
-                pl.BlockSpec((b, r_tile), lambda rt: (0, rt)),
-                pl.BlockSpec((b, U_PAD), lambda rt: (0, 0)),
+                pl.BlockSpec((b, 8), lambda s, rt: (s, 0)),
+                pl.BlockSpec((b, r_tile), lambda s, rt: (s, rt)),
+                pl.BlockSpec((b, U_PAD), lambda s, rt: (s, 0)),
             ],
-            out_specs=pl.BlockSpec((b, 16), lambda rt: (0, 0)),
-            out_shape=jax.ShapeDtypeStruct((b, 16), jnp.int32),
+            out_specs=pl.BlockSpec((b, 16), lambda s, rt: (s, 0)),
+            out_shape=jax.ShapeDtypeStruct((n_sub * b, 16), jnp.int32),
             scratch_shapes=[pltpu.VMEM((b, U_PAD), jnp.int32)
                             for _ in range(n_scratch)],
             compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("arbitrary",),
+                dimension_semantics=("arbitrary", "arbitrary"),
                 # persistent (B,128) i32 state planes + temporaries: the
                 # 16M default scoped-vmem limit caps B at ~1k; v5e has
                 # far more physical VMEM
@@ -360,6 +368,6 @@ def make_wrap_dp_fused2(b: int, r_pad: int, interpret: bool = False,
 
 
 @functools.lru_cache(maxsize=64)
-def get_wrap_dp_fused2(b: int, r_pad: int):
+def get_wrap_dp_fused2(b: int, r_pad: int, n_sub: int = 1):
     interpret = jax.default_backend() == "cpu"
-    return make_wrap_dp_fused2(b, r_pad, interpret=interpret)
+    return make_wrap_dp_fused2(b, r_pad, interpret=interpret, n_sub=n_sub)

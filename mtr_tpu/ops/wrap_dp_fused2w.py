@@ -107,8 +107,10 @@ def _fused2w_kernel(b: int, r_tile: int, r_pad: int, u_span: int,
     levels = (u_span - 1).bit_length()
 
     def body(scal_ref, rep_ref, unit_ref, out_ref, refs):
-        rt = pl.program_id(0)
-        n_rt = pl.num_programs(0)
+        # grid = (n_sub, n_rt): see ops/wrap_dp_fused2.py — sub-chunks
+        # carry their own max_rep_len row bound within one dispatch
+        rt = pl.program_id(1)
+        n_rt = pl.num_programs(1)
 
         rep_len = scal_ref[:, 0:1]                  # (B, 1)
         unit_len = scal_ref[:, 1:2]
@@ -340,14 +342,16 @@ def _fused2w_kernel(b: int, r_tile: int, r_pad: int, u_span: int,
 
 
 def make_wrap_dp_fused2w(b: int, r_pad: int, u_span: int = 256,
-                         interpret: bool = False, r_tile: int = 128):
+                         interpret: bool = False, r_tile: int = 128,
+                         n_sub: int = 1):
     """Batched fused wrap-DP (wide lane variant) for a
-    (B, u_span, r_pad) bucket; unit_len <= u_span <= 256.
+    (n_sub*b, u_span, r_pad) bucket; unit_len <= u_span <= 256.
 
     Inputs (LEFT-aligned, same as make_wrap_dp_fused2):
-      scal (B, 8) int32: rep_len, unit_len, mg, mp, ip, 0, 0, 0
-      rep  (B, r_pad) int8 (pad -1), unit (B, u_span) int8 (pad -2)
-    Output: (B, 15) int32, identical layout to make_wrap_dp_fused.
+      scal (n_sub*b, 8) int32: rep_len, unit_len, mg, mp, ip, 0, 0, 0
+      rep  (n_sub*b, r_pad) int8 (pad -1), unit (n_sub*b, u_span) int8
+    Output: (n_sub*b, 15) int32, layout of make_wrap_dp_fused; rows
+    process in b-sized sub-chunks each bounded by its own max rep_len.
     """
     r_tile = min(r_tile, r_pad)
     while r_pad % r_tile:
@@ -369,18 +373,18 @@ def make_wrap_dp_fused2w(b: int, r_pad: int, u_span: int = 256,
         unit_ra = jnp.where(jidx >= u_span - ul, unit_ra, -2)
         out = pl.pallas_call(
             kernel,
-            grid=(n_rt,),
+            grid=(n_sub, n_rt),
             in_specs=[
-                pl.BlockSpec((b, 8), lambda rt: (0, 0)),
-                pl.BlockSpec((b, r_tile), lambda rt: (0, rt)),
-                pl.BlockSpec((b, u_span), lambda rt: (0, 0)),
+                pl.BlockSpec((b, 8), lambda s, rt: (s, 0)),
+                pl.BlockSpec((b, r_tile), lambda s, rt: (s, rt)),
+                pl.BlockSpec((b, u_span), lambda s, rt: (s, 0)),
             ],
-            out_specs=pl.BlockSpec((b, 16), lambda rt: (0, 0)),
-            out_shape=jax.ShapeDtypeStruct((b, 16), jnp.int32),
+            out_specs=pl.BlockSpec((b, 16), lambda s, rt: (s, 0)),
+            out_shape=jax.ShapeDtypeStruct((n_sub * b, 16), jnp.int32),
             scratch_shapes=[pltpu.VMEM((b, u_span), jnp.int32)
                             for _ in range(n_scratch)],
             compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("arbitrary",),
+                dimension_semantics=("arbitrary", "arbitrary"),
                 vmem_limit_bytes=100 * 1024 * 1024,
             ),
             interpret=interpret,
@@ -400,6 +404,8 @@ def make_wrap_dp_fused2w(b: int, r_pad: int, u_span: int = 256,
 
 
 @functools.lru_cache(maxsize=64)
-def get_wrap_dp_fused2w(b: int, r_pad: int, u_span: int = 256):
+def get_wrap_dp_fused2w(b: int, r_pad: int, u_span: int = 256,
+                        n_sub: int = 1):
     interpret = jax.default_backend() == "cpu"
-    return make_wrap_dp_fused2w(b, r_pad, u_span, interpret=interpret)
+    return make_wrap_dp_fused2w(b, r_pad, u_span, interpret=interpret,
+                                n_sub=n_sub)

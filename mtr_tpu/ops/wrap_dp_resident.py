@@ -34,11 +34,12 @@ def _gather_segments(flat, starts, r_pad: int):
 
 
 @functools.lru_cache(maxsize=64)
-def get_wrap_dp_fused2_resident(b: int, r_pad: int):
+def get_wrap_dp_fused2_resident(b: int, r_pad: int, n_sub: int = 1):
     from mtr_tpu.ops.wrap_dp_fused2 import make_wrap_dp_fused2
 
     interpret = jax.default_backend() == "cpu"
-    inner = make_wrap_dp_fused2(b, r_pad, interpret=interpret)
+    inner = make_wrap_dp_fused2(b, r_pad, interpret=interpret,
+                                n_sub=n_sub)
 
     def fn(flat, starts, scal, unit):
         rep = _gather_segments(flat, starts, r_pad)
@@ -48,11 +49,13 @@ def get_wrap_dp_fused2_resident(b: int, r_pad: int):
 
 
 @functools.lru_cache(maxsize=64)
-def get_wrap_dp_fused2w_resident(b: int, r_pad: int, u_span: int = 256):
+def get_wrap_dp_fused2w_resident(b: int, r_pad: int, u_span: int = 256,
+                                 n_sub: int = 1):
     from mtr_tpu.ops.wrap_dp_fused2w import make_wrap_dp_fused2w
 
     interpret = jax.default_backend() == "cpu"
-    inner = make_wrap_dp_fused2w(b, r_pad, u_span, interpret=interpret)
+    inner = make_wrap_dp_fused2w(b, r_pad, u_span, interpret=interpret,
+                                 n_sub=n_sub)
 
     def fn(flat, starts, scal, unit):
         rep = _gather_segments(flat, starts, r_pad)

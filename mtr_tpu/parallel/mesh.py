@@ -63,38 +63,50 @@ def sharded_wrap_dp_step(mesh: Mesh, b: int, u_pad: int, r_pad: int, axis: str =
 
 @functools.lru_cache(maxsize=128)
 def sharded_resident_fn(mesh: Mesh, kind: str, b: int, u_pad: int,
-                        r_pad: int, factor: int = 0, axis: str = "dp"):
+                        r_pad: int, factor: int = 0, n_sub: int = 1,
+                        axis: str = "dp"):
     """Resident wrap-DP chunk kernel under shard_map: the flat read
     array is replicated, per-job (starts, scal, units) shard their batch
     dim over the mesh, and each device runs the single-device Pallas
-    program on its local shard.  kind in {counts2, counts, consensus}
-    (see pipeline.WrapDPBatcher._fn)."""
+    program on its local shard.  kind in {counts2, counts2w, counts,
+    consensus} (see pipeline.WrapDPBatcher._fn).  For the sub-chunked
+    kinds, b is the SUB-chunk size and the global batch is b*n_sub;
+    whole sub-chunks land on each device (n_sub divisible by the mesh,
+    both powers of two)."""
     from mtr_tpu.ops.wrap_dp_resident import _gather_segments
 
     n = int(mesh.devices.size)
+    interpret = jax.default_backend() == "cpu"
+    if kind in ("counts2", "counts2w"):
+        assert n_sub % n == 0, (n_sub, n)
+        ls = n_sub // n
+        if kind == "counts2":
+            from mtr_tpu.ops.wrap_dp_fused2 import make_wrap_dp_fused2
+
+            inner = make_wrap_dp_fused2(b, r_pad, interpret=interpret,
+                                        n_sub=ls)
+        else:
+            from mtr_tpu.ops.wrap_dp_fused2w import make_wrap_dp_fused2w
+
+            inner = make_wrap_dp_fused2w(b, r_pad, u_pad,
+                                         interpret=interpret, n_sub=ls)
+
+        def local(flat, starts, scal, unit):
+            rep = _gather_segments(flat, starts, r_pad)
+            return inner(scal, rep, unit)
+
+        spec = P(axis)
+        fn = shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(None), spec, spec, spec),
+            out_specs=spec,
+            check_vma=False,
+        )
+        return jax.jit(fn)
     assert b % n == 0, f"chunk batch {b} must divide the {n}-way dp axis"
     lb = b // n
-    interpret = jax.default_backend() == "cpu"
-    if kind == "counts2":
-        from mtr_tpu.ops.wrap_dp_fused2 import make_wrap_dp_fused2
-
-        inner = make_wrap_dp_fused2(lb, r_pad, interpret=interpret)
-
-        def local(flat, starts, scal, unit):
-            rep = _gather_segments(flat, starts, r_pad)
-            return inner(scal, rep, unit)
-
-    elif kind == "counts2w":
-        from mtr_tpu.ops.wrap_dp_fused2w import make_wrap_dp_fused2w
-
-        inner = make_wrap_dp_fused2w(lb, r_pad, u_pad,
-                                     interpret=interpret)
-
-        def local(flat, starts, scal, unit):
-            rep = _gather_segments(flat, starts, r_pad)
-            return inner(scal, rep, unit)
-
-    elif kind == "counts":
+    if kind == "counts":
         from mtr_tpu.ops.wrap_dp_fused import make_wrap_dp_fused
 
         inner = make_wrap_dp_fused(lb, u_pad, r_pad, interpret=interpret)

@@ -78,6 +78,11 @@ B_FUSED2 = 2048
 # oversized jobs (MG=5 with huge spans — not produced by the reference
 # pipeline) fall back to the v1 sublane kernel.
 B_FUSED2W = 1024
+# Mega-dispatch sub-chunk sizes: the kernel grid's leading dim carries
+# b_sub-row sub-chunks, each bounded by its own max rep_len, so one
+# dispatch serves a whole (mode, r bucket) group.
+SUB_B = {"counts2": 256, "counts2w": 128}
+REP_BYTES_CAP = 1 << 30  # gathered rep segments per mega-dispatch
 # Consensus-mode (polish) jobs keep the move-tensor + device-traceback
 # path: their per-column consensus/missing matrices cannot ride the
 # fused argmax propagation, and they are a small minority of jobs.
@@ -188,14 +193,14 @@ class WrapDPBatcher:
         self.mesh = None       # set by ShardedWrapDPBatcher
 
     def _fn(self, kind: str, b_pad: int, u_pad: int, r_pad: int,
-            factor: int = 0):
+            factor: int = 0, n_sub: int = 1):
         """Resident kernel for a chunk shape; sharded over self.mesh's
         'dp' axis when a mesh is attached."""
         if self.mesh is not None:
             from mtr_tpu.parallel.mesh import sharded_resident_fn
 
             return sharded_resident_fn(
-                self.mesh, kind, b_pad, u_pad, r_pad, factor)
+                self.mesh, kind, b_pad, u_pad, r_pad, factor, n_sub)
         if kind != "consensus" and _os.environ.get("MTR_TPU_XLA_DP"):
             # pure-XLA counts engine: no Mosaic — survives proxied
             # runtimes whose Pallas compile service is wedged while
@@ -213,9 +218,9 @@ class WrapDPBatcher:
         )
 
         if kind == "counts2":
-            return get_wrap_dp_fused2_resident(b_pad, r_pad)
+            return get_wrap_dp_fused2_resident(b_pad, r_pad, n_sub)
         if kind == "counts2w":
-            return get_wrap_dp_fused2w_resident(b_pad, r_pad, u_pad)
+            return get_wrap_dp_fused2w_resident(b_pad, r_pad, u_pad, n_sub)
         if kind == "counts":
             return get_wrap_dp_fused_resident(b_pad, u_pad, r_pad)
         return get_wrap_dp_consensus_resident(b_pad, u_pad, r_pad, factor)
@@ -323,6 +328,31 @@ class WrapDPBatcher:
 
         pending = []
         for (r_pad, u_pad, mode), idxs in sorted(groups.items()):
+            # longest-first ordering keeps sub-chunks/chunks rep_len
+            # homogeneous: the kernels bound their row loops per
+            # sub-chunk by that sub-chunk's max rep_len
+            idxs.sort(key=lambda i: jobs[i].qs - jobs[i].qe)
+            resident = (
+                self._flat is not None
+                and all(id(jobs[i].org) in self._offsets for i in idxs)
+            )
+            if (mode in ("counts2", "counts2w") and resident
+                    and not _os.environ.get("MTR_TPU_XLA_DP")):
+                # mega-dispatch: sub-chunks ride the kernel grid, so a
+                # whole (mode, r bucket) group ships in ONE dispatch =
+                # 3 host->device puts total instead of 3 per chunk (a
+                # blocking put costs a proxy roundtrip).  Dispatch size
+                # is only capped by the gathered-rep HBM footprint.
+                b_sub = SUB_B[mode]
+                max_jobs = max(
+                    b_sub,
+                    (REP_BYTES_CAP // r_pad) // b_sub * b_sub,
+                )
+                for lo in range(0, len(idxs), max_jobs):
+                    pending.append(self._dispatch_mega(
+                        jobs, idxs[lo : lo + max_jobs], r_pad, u_pad,
+                        mode, b_sub))
+                continue
             if mode == "consensus":
                 cap = max(1, MOVES_BYTES_CAP // ((r_pad + 1) * u_pad))
                 cap = min(cap, B_FOR_U[u_pad])
@@ -332,19 +362,19 @@ class WrapDPBatcher:
                 cap = B_FUSED2W
             else:
                 cap = B_FUSED[u_pad]
-            # kernel cost is b_pad x chunk_max_rep_len regardless of how
-            # many slots hold real jobs, so chunks are cut to keep
-            # rep_len homogeneous (longest first) and padded batches are
-            # quantized to a few shapes ({cap/16, cap/4, cap}) instead
-            # of always paying the full cap
-            idxs.sort(key=lambda i: jobs[i].qs - jobs[i].qe)
+            # chunk cuts trade padded rows against the ~fixed per-chunk
+            # dispatch+pull latency, so a cut must save thousands of
+            # rows; short-read workloads stay in few chunks
             chunk: list[int] = []
             chunk_max_rl = 0
+            CUT_ROWS = 4096
             for i in idxs:
                 rl = jobs[i].qe - jobs[i].qs + 1
                 if chunk and (
                     len(chunk) >= cap
-                    or (rl * 4 < chunk_max_rl and len(chunk) >= 32)
+                    or (rl * 4 < chunk_max_rl
+                        and chunk_max_rl - rl > CUT_ROWS
+                        and len(chunk) >= 32)
                 ):
                     pending.append(self._dispatch_chunk(
                         jobs, chunk, r_pad, u_pad, mode, cap))
@@ -368,6 +398,40 @@ class WrapDPBatcher:
                     pass
         for item in pending:
             self._collect_chunk(jobs, *item)
+
+    def _dispatch_mega(self, jobs, part, r_pad, u_pad, mode, b_sub):
+        """One dispatch for a longest-first job slice: rows pack into
+        b_sub-sized sub-chunks on the kernel grid; n_sub is padded to a
+        power of two (empty sub-chunks skip all row work) to bound the
+        number of compiled programs."""
+        n = len(part)
+        n_sub = -(-n // b_sub)
+        n_sub = 1 << (n_sub - 1).bit_length()
+        if self.mesh is not None:
+            n_dev = int(self.mesh.devices.size)
+            n_sub = max(n_sub, n_dev)  # both powers of two -> divisible
+        b_tot = n_sub * b_sub
+        units, scal, starts = self._acquire_resident(b_tot, u_pad)
+        units.fill(-2)
+        scal.fill(0)
+        starts.fill(0)
+        units[:, :2] = 0
+        scal[:, 1] = 2
+        scal[:, 2:5] = 1
+        for row, idx in enumerate(part):
+            job = jobs[idx]
+            starts[row] = self._offsets[id(job.org)] + job.qs + 1
+            units[row, : len(job.unit)] = job.unit
+            scal[row, 0] = job.qe - job.qs + 1
+            scal[row, 1] = len(job.unit)
+            scal[row, 2:5] = job.scheme
+        fn = self._fn(mode, b_sub, u_pad, r_pad, n_sub=n_sub)
+        with TIMERS.section("dp_fill"):
+            fused = fn(self._flat, *_put(starts, scal, units))
+        TIMERS.count("dp_jobs", n)
+        TIMERS.count("dp_chunks")
+        return (part, "counts", (fused,), ("res", b_tot, u_pad),
+                (units, scal, starts))
 
     def _dispatch_chunk(self, jobs, chunk, r_pad, u_pad, mode, cap=None):
         from mtr_tpu.ops.wrap_dp_pallas import (
