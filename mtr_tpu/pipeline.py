@@ -56,6 +56,12 @@ from mtr_tpu.oracle.consensus import polish_repeat, rebuild_unit_from_consensus
 import os as _os
 
 R_BUCKETS = (4096, 32768, 65536, 262144, 1048576)
+# consensus-mode (polish) jobs are coverage-bounded (repeat_len <=
+# 20*MAX_PERIOD, handle_one_read.c:95-98): finer rep buckets keep the
+# move tensor small, so the MOVES_BYTES_CAP admits 4-8x more jobs per
+# dispatch (dispatch latency dominates the polish phase on proxied
+# runtimes)
+R_BUCKETS_CONS = (4096, 8192, 16384, 32768, 65536, 262144, 1048576)
 # Counts-mode jobs run on the FUSED kernel (ops/wrap_dp_fused.py): one
 # program per (u, r) bucket, no move tensor, no traceback program.  The
 # unit rides the SUBLANE dim there, so small-unit buckets are cheap —
@@ -269,20 +275,38 @@ class WrapDPBatcher:
         return (reps, units, scal)
 
     def _acquire_resident(self, b_pad, u_pad):
-        """(units int8, scal int32, starts int32) — no rep buffer; the
-        rep segments are gathered on device from the resident flat."""
+        """[units int8, scal int32, starts int32, dirty_rows] — no rep
+        buffer; the rep segments are gathered on device from the
+        resident flat.  Fresh buffers come pre-set to the padding-row
+        defaults; reused ones re-clean only the rows the previous
+        dispatch wrote (dirty_rows), so a mostly-empty mega arena costs
+        no full memset."""
         from mtr_tpu import native
 
         lst = self._free[("res", b_pad, u_pad)]
         if lst:
-            return lst.pop()
+            buf = lst.pop()
+            units, scal, starts, dirty = buf
+            units[:dirty].fill(-2)
+            units[:dirty, :2] = 0
+            scal[:dirty].fill(0)
+            scal[:dirty, 1] = 2
+            scal[:dirty, 2:5] = 1
+            starts[:dirty] = 0
+            return buf
         self._seq += 1
         s = self._seq
         units = native.POOL.get(
             f"res_units_{b_pad}x{u_pad}_{s}", (b_pad, u_pad), np.int8)
         scal = native.POOL.get(f"res_scal_{b_pad}_{s}", (b_pad, 8), np.int32)
         starts = native.POOL.get(f"res_starts_{b_pad}_{s}", (b_pad,), np.int32)
-        return (units, scal, starts)
+        units.fill(-2)
+        units[:, :2] = 0
+        scal.fill(0)
+        scal[:, 1] = 2
+        scal[:, 2:5] = 1
+        starts.fill(0)
+        return [units, scal, starts, 0]
 
     def run(self, jobs: list[DPJob], deduped: bool = False) -> None:
         uniq_jobs, remap = (jobs, None) if deduped else dedup_jobs(jobs)
@@ -308,11 +332,15 @@ class WrapDPBatcher:
                 job.result = uniq_jobs[ui].result
 
     def _run(self, jobs: list[DPJob]) -> None:
+        resident_all = self._flat is not None and not _os.environ.get(
+            "MTR_TPU_XLA_DP")
         groups: dict[tuple[int, int, str], list[int]] = defaultdict(list)
+        mega_groups: dict[tuple[str, int], list[int]] = defaultdict(list)
         for idx, job in enumerate(jobs):
             rep_len = job.qe - job.qs + 1
             r_pad = _bucket(rep_len, R_BUCKETS)
             if job.mode == "consensus":
+                r_pad = _bucket(rep_len, R_BUCKETS_CONS)
                 u_pad = _bucket(len(job.unit), U_BUCKETS)
                 mode = "consensus"
             elif len(job.unit) <= 128:
@@ -324,35 +352,39 @@ class WrapDPBatcher:
             else:
                 u_pad = _bucket(len(job.unit), U_BUCKETS_FUSED)
                 mode = "counts"
-            groups[(r_pad, u_pad, mode)].append(idx)
+            if (mode in ("counts2", "counts2w") and resident_all
+                    and id(job.org) in self._offsets):
+                mega_groups[(mode, u_pad)].append(idx)
+            else:
+                groups[(r_pad, u_pad, mode)].append(idx)
 
         pending = []
-        for (r_pad, u_pad, mode), idxs in sorted(groups.items()):
-            # longest-first ordering keeps sub-chunks/chunks rep_len
-            # homogeneous: the kernels bound their row loops per
-            # sub-chunk by that sub-chunk's max rep_len
+        for (mode, u_pad), idxs in sorted(mega_groups.items()):
+            # mega-dispatch: sub-chunks ride the kernel grid and each
+            # bounds its own rows, so ALL rep buckets of a mode ship in
+            # ONE dispatch (3 host->device puts total — a blocking put
+            # costs a proxy roundtrip).  Jobs sort longest-first; a
+            # dispatch slice takes the rep bucket of its LONGEST job
+            # and is capped by the gathered-rep HBM footprint, so the
+            # tail of short jobs lands in cheaper narrow dispatches.
             idxs.sort(key=lambda i: jobs[i].qs - jobs[i].qe)
-            resident = (
-                self._flat is not None
-                and all(id(jobs[i].org) in self._offsets for i in idxs)
-            )
-            if (mode in ("counts2", "counts2w") and resident
-                    and not _os.environ.get("MTR_TPU_XLA_DP")):
-                # mega-dispatch: sub-chunks ride the kernel grid, so a
-                # whole (mode, r bucket) group ships in ONE dispatch =
-                # 3 host->device puts total instead of 3 per chunk (a
-                # blocking put costs a proxy roundtrip).  Dispatch size
-                # is only capped by the gathered-rep HBM footprint.
-                b_sub = SUB_B[mode]
+            b_sub = SUB_B[mode]
+            lo = 0
+            while lo < len(idxs):
+                j0 = jobs[idxs[lo]]
+                r_pad = _bucket(j0.qe - j0.qs + 1, R_BUCKETS)
                 max_jobs = max(
                     b_sub,
                     (REP_BYTES_CAP // r_pad) // b_sub * b_sub,
                 )
-                for lo in range(0, len(idxs), max_jobs):
-                    pending.append(self._dispatch_mega(
-                        jobs, idxs[lo : lo + max_jobs], r_pad, u_pad,
-                        mode, b_sub))
-                continue
+                part = idxs[lo : lo + max_jobs]
+                pending.append(self._dispatch_mega(
+                    jobs, part, r_pad, u_pad, mode, b_sub))
+                lo += len(part)
+
+        for (r_pad, u_pad, mode), idxs in sorted(groups.items()):
+            # longest-first ordering keeps chunks rep_len homogeneous
+            idxs.sort(key=lambda i: jobs[i].qs - jobs[i].qe)
             if mode == "consensus":
                 cap = max(1, MOVES_BYTES_CAP // ((r_pad + 1) * u_pad))
                 cap = min(cap, B_FOR_U[u_pad])
@@ -411,27 +443,36 @@ class WrapDPBatcher:
             n_dev = int(self.mesh.devices.size)
             n_sub = max(n_sub, n_dev)  # both powers of two -> divisible
         b_tot = n_sub * b_sub
-        units, scal, starts = self._acquire_resident(b_tot, u_pad)
-        units.fill(-2)
-        scal.fill(0)
-        starts.fill(0)
-        units[:, :2] = 0
-        scal[:, 1] = 2
-        scal[:, 2:5] = 1
+        buffers = self._acquire_resident(b_tot, u_pad)
+        units, scal, starts = buffers[:3]
+        buffers[3] = n  # dirty rows for the next reuse
+        # vectorized row fill: python-per-job only for attribute
+        # extraction; unit payloads write once per distinct unit
+        qs_a = np.fromiter(
+            (jobs[i].qs for i in part), np.int64, n)
+        qe_a = np.fromiter(
+            (jobs[i].qe for i in part), np.int64, n)
+        off_a = np.fromiter(
+            (self._offsets[id(jobs[i].org)] for i in part), np.int64, n)
+        starts[:n] = off_a + qs_a + 1
+        scal[:n, 0] = qe_a - qs_a + 1
+        scal[:n, 2:5] = [jobs[i].scheme for i in part]
+        by_unit: dict = defaultdict(list)
         for row, idx in enumerate(part):
-            job = jobs[idx]
-            starts[row] = self._offsets[id(job.org)] + job.qs + 1
-            units[row, : len(job.unit)] = job.unit
-            scal[row, 0] = job.qe - job.qs + 1
-            scal[row, 1] = len(job.unit)
-            scal[row, 2:5] = job.scheme
+            by_unit[jobs[idx].unit.tobytes()].append(row)
+        ulen = np.empty(n, np.int32)
+        for key, rows in by_unit.items():
+            unit = jobs[part[rows[0]]].unit
+            units[np.asarray(rows), : len(unit)] = unit
+            ulen[rows] = len(unit)
+        scal[:n, 1] = ulen
         fn = self._fn(mode, b_sub, u_pad, r_pad, n_sub=n_sub)
         with TIMERS.section("dp_fill"):
             fused = fn(self._flat, *_put(starts, scal, units))
         TIMERS.count("dp_jobs", n)
         TIMERS.count("dp_chunks")
         return (part, "counts", (fused,), ("res", b_tot, u_pad),
-                (units, scal, starts))
+                buffers)
 
     def _dispatch_chunk(self, jobs, chunk, r_pad, u_pad, mode, cap=None):
         from mtr_tpu.ops.wrap_dp_pallas import (
@@ -473,14 +514,9 @@ class WrapDPBatcher:
             and all(id(jobs[i].org) in self._offsets for i in chunk)
         )
         if resident:
-            units, scal, starts = self._acquire_resident(b_pad, u_pad)
-            units.fill(-2)
-            scal.fill(0)
-            starts.fill(0)
-            units[:, :2] = 0
-            scal[:, 1] = 2
-            scal[:, 2:5] = 1
-            buffers = (units, scal, starts)
+            buffers = self._acquire_resident(b_pad, u_pad)
+            units, scal, starts = buffers[:3]
+            buffers[3] = n  # dirty rows for the next reuse
         else:
             # pooled per shape via a freelist: fresh per-chunk np.full
             # buffers would pay the lazy-memory first-touch cost (see
@@ -1356,6 +1392,10 @@ def run_file(
         rsl = min_rsl if L < min_rsl * 10 else L // 10
         di_compute = None
         if cfg.backend == "device" and L >= cfg.device_di_threshold:
+            # hybrid deliberately keeps DI on host: the sweep is many
+            # small (k, w) dispatches whose per-call proxy roundtrips
+            # cost far more than the 2-core host pass (measured 40x
+            # slower through a tunneled runtime)
             di_compute = _device_di_compute(cfg)
         with TIMERS.section("range"):
             di, di_end, di_w = fill_directional_index_with_end(
