@@ -39,9 +39,13 @@ class Timers:
         # everything between range detection and chaining, "wrap around"
         # = the DP engine (fill + traceback), walks ≈ count tables + DBG
         period = t["period"] or (
-            t["walks"] + t["dp_fill"] + t["dp_traceback"] + t["polish"]
+            t["walks"] + t["dp_fill"] + t["dp_dispatch"] + t["dp_wait"]
+            + t["dp_traceback"] + t["polish"]
         )
-        wrap_dp = t["wrap_dp"] or (t["dp_fill"] + t["dp_traceback"])
+        wrap_dp = t["wrap_dp"] or (
+            t["dp_fill"] + t["dp_dispatch"] + t["dp_wait"]
+            + t["dp_traceback"]
+        )
         count_table = t["count_table"] or t["walks"]
         out.write("Computation time\n")
         out.write(f"{t['all']:f}\tall\n")
@@ -57,7 +61,9 @@ class Timers:
         extras = [
             ("di_device", "DI stencil"),
             ("walks", "DBG walks (native)"),
-            ("dp_fill", "wrap-DP fill dispatch"),
+            ("dp_fill", "wrap-DP host engine"),
+            ("dp_dispatch", "wrap-DP device dispatch"),
+            ("dp_wait", "wrap-DP device wait + pull"),
             ("dp_traceback", "device traceback + pull"),
             ("dp_pad", "DP batch padding"),
             ("polish", "polish/revision rounds"),
