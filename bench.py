@@ -251,31 +251,19 @@ def child(backend, fasta, n_reads, n_reps):
     return 0
 
 
-def child_gcups():
-    """Fused wrap-DP kernel GCUPS by the slope method on the production
-    bucket shape: two rep_len points on ONE compiled program, so the
-    dispatch/transfer fixed costs cancel exactly."""
+def _gcups_one(fn, b, u_pad, unit_len, r_pad, r1, r2):
+    """Slope-method GCUPS for one engine: two rep_len points on ONE
+    compiled program, so dispatch/transfer fixed costs cancel."""
     import numpy as np
 
-    from mtr_tpu.pipeline import B_FUSED2
-
-    b, r_pad, unit_len = B_FUSED2, 4096, 100
     rng = np.random.default_rng(0)
     unit = rng.integers(0, 4, unit_len)
-    if os.environ.get("MTR_TPU_XLA_DP"):
-        from mtr_tpu.ops.wrap_dp_xla import make_wrap_dp_counts_xla
-
-        fn = make_wrap_dp_counts_xla(b, 128, r_pad)
-    else:
-        from mtr_tpu.ops.wrap_dp_fused2 import make_wrap_dp_fused2
-
-        fn = make_wrap_dp_fused2(b, r_pad)
 
     def inputs(rep_len):
         rep = np.tile(unit, rep_len // unit_len + 1)[:rep_len]
         repa = np.full((b, r_pad), -1, np.int8)
         repa[:, :rep_len] = rep
-        units = np.full((b, 128), -2, np.int8)
+        units = np.full((b, u_pad), -2, np.int8)
         units[:, :unit_len] = unit
         scal = np.zeros((b, 8), np.int32)
         scal[:, 0] = rep_len
@@ -292,16 +280,38 @@ def child_gcups():
             ts.append(time.time() - t0)
         return min(ts)
 
-    i1, i2 = inputs(1024), inputs(4096)
+    i1, i2 = inputs(r1), inputs(r2)
     for _attempt in range(3):
         t1, t2 = t(i1), t(i2)
         if t2 > t1:
             break
     if t2 <= t1:  # timing noise (proxied terminals): report null, not inf
-        print(json.dumps({"gcups": None}))
+        return None
+    per_row = (t2 - t1) / (r2 - r1)
+    return b * unit_len / per_row / 1e9
+
+
+def child_gcups():
+    """GCUPS on BOTH production kernels (VERDICT r3 #2): fused2 at
+    unit 100 (short-unit bucket) and fused2w at unit 200 (the wide
+    kernel that carries 84% of north-star cells)."""
+    from mtr_tpu.pipeline import B_FUSED2, B_FUSED2W
+
+    if os.environ.get("MTR_TPU_XLA_DP"):
+        from mtr_tpu.ops.wrap_dp_xla import make_wrap_dp_counts_xla
+
+        g1 = _gcups_one(make_wrap_dp_counts_xla(B_FUSED2, 128, 4096),
+                        B_FUSED2, 128, 100, 4096, 1024, 4096)
+        print(json.dumps({"gcups": g1, "gcups_w": None}))
         return 0
-    per_row = (t2 - t1) / 3072
-    print(json.dumps({"gcups": b * unit_len / per_row / 1e9}))
+    from mtr_tpu.ops.wrap_dp_fused2 import make_wrap_dp_fused2
+    from mtr_tpu.ops.wrap_dp_fused2w import make_wrap_dp_fused2w
+
+    g1 = _gcups_one(make_wrap_dp_fused2(B_FUSED2, 4096),
+                    B_FUSED2, 128, 100, 4096, 1024, 4096)
+    g2 = _gcups_one(make_wrap_dp_fused2w(B_FUSED2W, 32768),
+                    B_FUSED2W, 256, 200, 32768, 8192, 24576)
+    print(json.dumps({"gcups": g1, "gcups_w": g2}))
     return 0
 
 
@@ -377,10 +387,12 @@ def main():
     b100, rate100 = measure_set(FASTA_100, N_READS_100, candidates,
                                 N_REPS, timeout_s=5400, extra_env=extra_env)
 
-    gc = None
+    gc = gcw = None
     if "hybrid" in candidates or "device" in candidates or force in ("hybrid", "device"):
         g = run_child(["--gcups"], timeout_s=3600, extra_env=extra_env)
         gc = round(g["gcups"], 2) if g and g.get("gcups") is not None else None
+        gcw = (round(g["gcups_w"], 2)
+               if g and g.get("gcups_w") is not None else None)
 
     pairs = []
     for fasta, backend in ((FASTA_200, b200), (FASTA_100, b100)):
@@ -426,6 +438,7 @@ def main():
         "unit": "reads/s",
         "vs_baseline": round(rate200 / BASELINE_200x200_READS_PER_S, 3),
         "wrap_dp_gcups": gc,
+        "wrap_dp_gcups_u200": gcw,
         "output_equality_rate": eq,
         "equality_sets": n_eq_sets,
         "singleTR_100x10": {

@@ -974,30 +974,41 @@ def _wrap_dp_schemes(batcher, queries_with_candidates) -> None:
     # dpjobs is already unique under the batcher's dedup key (one job
     # pair per (org, range, unit); schemes differ within a pair)
     batcher.run(dpjobs, deduped=True)
-    f32 = np.float32
-    # one scheme selection per unique candidate
-    winners: list = []
-    for job113, job131 in sel_jobs:
-        # ratio from raw counts (float32, NaN on 0/0 — C semantics)
-        best_job = None
-        best_ratio = -1.0
-        for job in (job113, job131):
+    # one scheme selection per unique candidate, vectorized: the scalar
+    # loop's semantics (wrap_around_DP.c:357-429 via ratio_less) reduce
+    # to: take (1,3,1) iff its ratio is non-NaN and either (1,1,3)'s is
+    # NaN or strictly smaller; else (1,1,3) if non-NaN; else neither.
+    n_sel = len(sel_jobs)
+    if n_sel:
+        cnt = np.empty((2 * n_sel, 2), np.int64)
+        for idx, job in enumerate(dpjobs):
             (n_m, n_x, n_i, n_d, _scanned), _, _ = job.result
-            denom = n_m + n_x + n_i + n_d
-            r = float(f32(n_m) / f32(denom)) if denom else math.nan
-            if ratio_less(best_ratio, r):
-                best_job = job
-                best_ratio = r
-        winners.append(best_job)
+            cnt[idx, 0] = n_m
+            cnt[idx, 1] = n_m + n_x + n_i + n_d
+        with np.errstate(invalid="ignore"):
+            # denom == 0 implies m == 0 (counts are nonnegative), so the
+            # only singular case is 0/0 -> NaN, exactly C float math
+            r = cnt[:, 0].astype(np.float32) / cnt[:, 1].astype(np.float32)
+        r113, r131 = r[0::2], r[1::2]
+        nan113, nan131 = np.isnan(r113), np.isnan(r131)
+        pick131 = ~nan131 & (nan113 | (r131 > r113))
+        pick113 = ~pick131 & ~nan113
+        rs = r.astype(np.float64)
+        ms = cnt[:, 0].tolist()
+        ds = cnt[:, 1].tolist()
     empty = RepeatRecord()
     for cand, ui in meta:
-        best_job = winners[ui]
-        if best_job is None:
-            _assign(cand, empty)
+        if pick131[ui]:
+            best_job, ji = sel_jobs[ui][1], 2 * ui + 1
+        elif pick113[ui]:
+            best_job, ji = sel_jobs[ui][0], 2 * ui
         else:
-            # apply_counts touches exactly the fields set_rr would copy
-            # from a counts-updated clone, so write cand directly
-            apply_counts(cand, best_job)
+            _assign(cand, empty)
+            continue
+        # apply_counts touches exactly the fields set_rr would copy
+        # from a counts-updated clone, so write cand directly
+        apply_counts(cand, best_job)
+        cand._rk = (ds[ji], ms[ji], float(rs[ji]))  # pre-fill ratio cache
 
 
 def _polish_phase(batcher, states, polish_set, cfg) -> None:
@@ -1049,12 +1060,51 @@ def _polish_phase(batcher, states, polish_set, cfg) -> None:
                 _assign(rr, tmp)
 
 
-def _collect_queries(states, cfg):
+def _live_positions(st) -> np.ndarray:
+    """Candidate-range start positions of a read (collection-time live
+    set: di_end in [0, L) — handle_one_read.c:227-246)."""
+    L = st.read.length
+    return np.nonzero((st.di_end > -1) & (st.di_end < L))[0]
+
+
+def wave1_positions(states, cfg=None):
+    """Wave-1 selection for suppression pruning: the positions that NO
+    earlier range can ever suppress.  A range q < p can only suppress p
+    when its accepted repeat reaches past p's end (rep_end > qe_p with
+    rep_end <= qe_q — handle_one_read.c:178-188), so p is safe iff the
+    running max of earlier ends <= qe_p.
+
+    Default OFF (every position becomes wave 1): pruning cuts total
+    work 20%+ on repeat-dense sets, but on the shipping hybrid engine
+    the wave-2 walks serialize against the device leg that full
+    speculation overlaps, and measured end-to-end it loses ~3-8%
+    (PERF.md round-4 notes).  MTR_TPU_WAVES=1 enables pruning — the
+    right trade when walk CPU is the scarce resource (e.g. many-core
+    hosts feeding one chip, or host-only runs at parity)."""
+    sel = []
+    waves = bool(_os.environ.get("MTR_TPU_WAVES")) and not bool(
+        _os.environ.get("MTR_TPU_NO_WAVES"))
+    for st in states:
+        pos = _live_positions(st)
+        if not waves or not len(pos):
+            sel.append(pos)
+            continue
+        qe = st.di_end[pos].astype(np.int64)
+        runmax = np.maximum.accumulate(qe)
+        excl = np.empty_like(runmax)
+        excl[0] = -1
+        excl[1:] = runmax[:-1]
+        sel.append(pos[excl <= qe])
+    return sel
+
+
+def _collect_queries(states, cfg, pos_sel=None):
     """Phase 2a: flat (read_idx, qs, qe, w, k) arrays for every candidate
     range x k, built with vectorized repeats (the k sweep is a function
     of w only — config.k_sweep / handle_one_read.c:104-118).  RangeQuery
     objects are only materialized for the few % of queries whose walk
-    finds a unit."""
+    finds a unit.  pos_sel optionally restricts each read to an explicit
+    position subset (wave pruning)."""
     lo_small = cfg.min_kmer - 3
     lo_big = cfg.min_kmer
     hi_small = cfg.max_kmer - 5
@@ -1062,11 +1112,9 @@ def _collect_queries(states, cfg):
     hi_big = cfg.max_kmer
     chunks = []
     for ridx, st in enumerate(states):
-        L = st.read.length
-        pos = np.nonzero((st.di_end > -1) & (st.di_end < L))[0]
+        pos = (_live_positions(st) if pos_sel is None else pos_sel[ridx])
         if not len(pos):
             continue
-        TIMERS.count("ranges_total", len(pos))
         qe = st.di_end[pos].astype(np.int64)
         w = st.di_w[pos].astype(np.int64)
         k_lo = np.where(w < 1000, lo_small, lo_big)
@@ -1089,17 +1137,18 @@ def _collect_queries(states, cfg):
     return tuple(np.concatenate([c[i] for c in chunks]) for i in range(5))
 
 
-def walk_batch(states: list[ReadState], cfg: MTRConfig):
-    """Phase 2 — all (range, k) walk queries for a batch.  Pure host
-    (or device-walk) work with no DP-batcher dependency, so run_file
-    overlaps it with the PREVIOUS batch's device DP wait."""
+def walk_batch(states: list[ReadState], cfg: MTRConfig, pos_sel=None):
+    """Phase 2 — (range, k) walk queries for a batch (optionally a wave
+    subset).  Pure host (or device-walk) work with no DP-batcher
+    dependency, so run_file overlaps it with the PREVIOUS batch's device
+    DP wait."""
     from mtr_tpu import native
     from mtr_tpu.oracle.dbg import freq_2mer_array
     from mtr_tpu.utils.encoding import decode_bases
 
     _t_period = time.time()  # walk share of "Computing periods"
 
-    ridx_a, qs_a, qe_a, w_a, k_a = _collect_queries(states, cfg)
+    ridx_a, qs_a, qe_a, w_a, k_a = _collect_queries(states, cfg, pos_sel)
     n_q = len(ridx_a)
     queries: list[RangeQuery] = []  # materialized for walk hits only
 
@@ -1182,22 +1231,27 @@ def walk_batch(states: list[ReadState], cfg: MTRConfig):
     return queries
 
 
-def process_batch(states: list[ReadState], batcher: WrapDPBatcher,
-                  cfg: MTRConfig, queries: list[RangeQuery] | None = None):
-    # register the batch's reads with the device engine (resident
-    # feeding): uploaded once, gathered per chunk on device
-    batcher.begin_batch([st.org for st in states])
+def _accepts(rr: RepeatRecord | None) -> bool:
+    """Acceptance gate of handle_one_read.c:239-240."""
+    return (
+        rr is not None
+        and rr.repeat_len > 0
+        and rr.rep_start + MIN_PERIOD * MIN_NUM_FREQ_UNIT < rr.rep_end
+    )
 
-    _t_period = time.time()  # DP share of "Computing periods" (main.c:113)
 
-    if queries is None:
-        queries = walk_batch(states, cfg)
-
+def _process_wave(states, batcher, cfg, queries, range_result) -> None:
+    """Phases 3-6a for one wave of walk queries: batched DP scheme
+    selection, acceptance gates, polish/revision rounds, k-sweep
+    selection.  Merges per-range winners into range_result (keyed
+    (read_idx, qs, qe); value None = computed but no qualifying
+    record)."""
     # phase 3+4a: scheme selection for every candidate
     _wrap_dp_schemes(batcher, [(q, states[q.read_idx].org) for q in queries])
 
-    # phase 4b: direction selection + gates -> per-query result; build polish set
-    # (queries without candidates were never materialized = cleared records)
+    # phase 4b: direction selection + gates -> per-query result; build
+    # polish set (queries without candidates were never materialized =
+    # cleared records)
     polish_set = []
     for q in queries:
         if not q.candidates or q.found == 0:
@@ -1225,7 +1279,6 @@ def process_batch(states: list[ReadState], batcher: WrapDPBatcher,
     by_range: dict[tuple[int, int, int], list[RangeQuery]] = defaultdict(list)
     for q in queries:
         by_range[(q.read_idx, q.qs, q.qe)].append(q)
-    range_result: dict[tuple[int, int, int], RepeatRecord] = {}
     for key, qs_list in by_range.items():
         best = None
         max_ratio = -1.0
@@ -1244,38 +1297,152 @@ def process_batch(states: list[ReadState], batcher: WrapDPBatcher,
                 best = tmp
         range_result[key] = best
 
-    TIMERS.add("period", time.time() - _t_period)
 
-    # phase 6b: sequential acceptance replay + chaining.  Only positions
-    # that were ranges at collection time can be ranges now (suppression
-    # only clears entries), so iterating the precomputed positions and
-    # re-checking liveness is equivalent to the reference's 0..L scan.
-    out = []
-    for ridx, st in enumerate(states):
-        L = st.read.length
-        di, di_end, di_w = st.di, st.di_end, st.di_w
-        accepted: list[RepeatRecord] = []
-        n_queries = 0
-        for qs in np.nonzero((di_end > -1) & (di_end < L))[0]:
-            qe = int(di_end[qs])
-            if qe < 0:
-                # suppressed by an earlier acceptance this pass: its
-                # walks + DP were speculative dead work the reference
-                # never computes (handle_one_read.c:178-188)
-                TIMERS.count("suppressed_ranges")
+MAX_WAVES = 6
+
+
+def process_batch(states: list[ReadState], batcher: WrapDPBatcher,
+                  cfg: MTRConfig, queries: list[RangeQuery] | None = None,
+                  pos_sel=None):
+    """Wave-pruned batch processing.
+
+    The reference suppresses pending ranges after each acceptance
+    (handle_one_read.c:178-188) and never computes their queries; the
+    round-3 pipeline speculatively computed EVERY range and replayed the
+    acceptance order afterwards — byte-identical but ~22% dead walk/DP
+    work on repeat-dense reads.  Waves recover most of the skips while
+    keeping device batches large:
+
+      wave 1: positions no earlier range can ever suppress (the running
+              max of earlier ends <= own end) — computable up front, so
+              run_file's overlap thread can pre-walk them;
+      replay: advance each read's acceptance cursor through computed or
+              killed positions, applying the reference's kills exactly;
+      wave k: positions an optimistic simulation (kills from all
+              computed acceptances, uncomputed positions assumed
+              non-accepting) leaves alive.  A misprediction only costs
+              a later wave — every computation is pure, and the replay
+              consumes results strictly in position order, so output
+              equality is unconditional.
+    """
+    # register the batch's reads with the device engine (resident
+    # feeding): uploaded once, gathered per chunk on device
+    batcher.begin_batch([st.org for st in states])
+
+    _t0 = time.time()  # DP share of "Computing periods" (main.c:113)
+    _t_walks = 0.0     # inner walk_batch calls self-report their time
+
+    all_pos = [_live_positions(st) for st in states]
+    for p in all_pos:
+        TIMERS.count("ranges_total", len(p))
+    computed = [np.zeros(len(st.di_end), bool) for st in states]
+    if queries is None:
+        pos_sel = wave1_positions(states, cfg)
+        _tw = time.time()
+        queries = walk_batch(states, cfg, pos_sel)
+        _t_walks += time.time() - _tw
+    elif pos_sel is None:
+        pos_sel = all_pos  # legacy callers pre-walk every position
+
+    range_result: dict[tuple[int, int, int], RepeatRecord | None] = {}
+    cursor = [0] * len(states)
+    accepted: list[list[RepeatRecord]] = [[] for _ in states]
+    nq = [0] * len(states)
+    wave = 0
+    while True:
+        wave += 1
+        for ridx, ps in enumerate(pos_sel):
+            if len(ps):
+                computed[ridx][ps] = True
+                TIMERS.count("computed_ranges", len(ps))
+        _process_wave(states, batcher, cfg, queries, range_result)
+
+        # exact replay: advance cursors, apply kills to the live arrays
+        alldone = True
+        for ridx, st in enumerate(states):
+            di, di_end, di_w = st.di, st.di_end, st.di_w
+            pos = all_pos[ridx]
+            c = cursor[ridx]
+            comp = computed[ridx]
+            while c < len(pos):
+                p = int(pos[c])
+                qe = int(di_end[p])
+                if qe < 0:
+                    # suppressed before its turn: if never computed, its
+                    # walks + DP were skipped exactly as the reference
+                    # skips them
+                    TIMERS.count("suppressed_ranges")
+                    if not comp[p]:
+                        TIMERS.count("pruned_ranges")
+                    c += 1
+                    continue
+                if not comp[p]:
+                    break  # a later wave must compute this position
+                nq[ridx] += 1  # reference query_counter: per live range
+                rr = range_result.get((ridx, p, qe))
+                if _accepts(rr):
+                    accepted[ridx].append(rr)
+                    span = np.arange(rr.rep_start, rr.rep_end)
+                    kill = span[(di[span] != -1) & (di_end[span] < rr.rep_end)]
+                    di[kill] = -1.0
+                    di_end[kill] = -1
+                    di_w[kill] = -1
+                c += 1
+            cursor[ridx] = c
+            if c < len(pos):
+                alldone = False
+        if alldone:
+            break
+
+        # next wave: optimistic simulation from each cursor
+        pos_sel = []
+        n_new = 0
+        for ridx, st in enumerate(states):
+            pos = all_pos[ridx]
+            c = cursor[ridx]
+            if c >= len(pos):
+                pos_sel.append(pos[:0])
                 continue
-            n_queries += 1  # reference query_counter: per live range
-            rr = range_result.get((ridx, qs, qe))
-            if rr is not None and rr.repeat_len > 0 and rr.rep_start + MIN_PERIOD * MIN_NUM_FREQ_UNIT < rr.rep_end:
-                accepted.append(rr)
-                span = np.arange(rr.rep_start, rr.rep_end)
-                kill = span[(di[span] != -1) & (di_end[span] < rr.rep_end)]
-                di[kill] = -1.0
-                di_end[kill] = -1
-                di_w[kill] = -1
-        TIMERS.count("queries", n_queries)
+            comp = computed[ridx]
+            if wave >= MAX_WAVES:
+                # bound the wave count: compute everything still alive
+                rem = pos[c:]
+                live = rem[(st.di_end[rem] >= 0) & ~comp[rem]]
+                pos_sel.append(live)
+                n_new += len(live)
+                continue
+            di_s = st.di.copy()
+            de_s = st.di_end.copy()
+            need: list[int] = []
+            for p in pos[c:]:
+                p = int(p)
+                qe = int(de_s[p])
+                if qe < 0:
+                    continue
+                if not comp[p]:
+                    need.append(p)
+                    continue
+                rr = range_result.get((ridx, p, qe))
+                if _accepts(rr):
+                    span = np.arange(rr.rep_start, rr.rep_end)
+                    kill = span[(di_s[span] != -1) & (de_s[span] < rr.rep_end)]
+                    di_s[kill] = -1.0
+                    de_s[kill] = -1
+            pos_sel.append(np.asarray(need, dtype=pos.dtype))
+            n_new += len(need)
+        assert n_new > 0, "wave selection stalled with unfinished reads"
+        TIMERS.count("waves_extra")
+        _tw = time.time()
+        queries = walk_batch(states, cfg, pos_sel)
+        _t_walks += time.time() - _tw
+
+    TIMERS.add("period", time.time() - _t0 - _t_walks)
+
+    out = []
+    for ridx in range(len(states)):
+        TIMERS.count("queries", nq[ridx])
         with TIMERS.section("chaining"):
-            out.append(chain_records(accepted))
+            out.append(chain_records(accepted[ridx]))
     return out
 
 
@@ -1418,7 +1585,8 @@ def run_file(
                 if "error" in ha:
                     raise ha["error"]
                 hb["results"] = process_batch(
-                    states, batcher, cfg, queries=ha["queries"])
+                    states, batcher, cfg, queries=ha["queries"],
+                    pos_sel=ha["pos_sel"])
             except Exception as e:  # pragma: no cover - failure isolation
                 hb["error"] = e
 
@@ -1437,7 +1605,10 @@ def run_file(
 
         def work_a():
             try:
-                ha["queries"] = walk_batch(states, cfg)
+                # pre-walk only wave 1: later waves depend on acceptance
+                # replay, so process_batch computes them itself
+                ha["pos_sel"] = wave1_positions(states, cfg)
+                ha["queries"] = walk_batch(states, cfg, ha["pos_sel"])
             except Exception as e:  # pragma: no cover - failure isolation
                 ha["error"] = e
 

@@ -48,6 +48,13 @@ class RepeatRecord:
         Returns NaN on a zero denominator (C float 0/0), so every ordered
         comparison against it is False — exactly the reference behavior in
         the max-ratio selection loops (handle_one_read.c:137-146).
+
+        The value is cached keyed by (m, denom): numpy float32 scalar
+        ops cost ~3 us each and the selection loops call this several
+        times per record; bulk producers (the batched scheme selection)
+        pre-fill the cache from one vectorized division — identical
+        bits, since f32 division of exactly-representable ints is
+        correctly rounded either way.
         """
         denom = (
             self.num_matches
@@ -57,7 +64,12 @@ class RepeatRecord:
         )
         if denom == 0:
             return math.nan
-        return float(np.float32(self.num_matches) / np.float32(denom))
+        cached = self.__dict__.get("_rk")
+        if cached is not None and cached[0] == denom and cached[1] == self.num_matches:
+            return cached[2]
+        v = float(np.float32(self.num_matches) / np.float32(denom))
+        self._rk = (denom, self.num_matches, v)
+        return v
 
     def format_record(self) -> str:
         """13-field TSV line — Alignment::print_one_TR (chaining.cpp:125-143).
