@@ -153,14 +153,19 @@ def ensure_800k():
 
 def ensure_structured():
     """Badread-style structured-error set (burst indels, homopolymer
-    slips, read-level identity spread) — equality must generalize beyond
-    rand_seq's independent errors (VERDICT r2 #8)."""
-    if os.path.exists(FASTA_STRUCT):
+    slips, read-level identity spread — VERDICT r2 #8) extended with
+    Badread's artifact classes (junk/random reads, chimeras, ligation
+    adapters — VERDICT r3 #8)."""
+    marker = FASTA_STRUCT + ".v2"
+    if os.path.exists(FASTA_STRUCT) and os.path.exists(marker):
         return
     from mtr_tpu.testutil.structured_errors import write_structured_fasta
 
     write_structured_fasta(FASTA_STRUCT, FASTA_STRUCT[:-6] + ".units",
-                           50, 12, 0.08, 600, 12, seed=4242)
+                           50, 12, 0.08, 600, 12, seed=4242,
+                           junk_frac=0.1, random_frac=0.05,
+                           chimera_frac=0.15, adapters=True)
+    open(marker, "w").write("1")
 
 
 def _eqout_path(fasta, backend, pearson):

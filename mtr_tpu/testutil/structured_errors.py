@@ -77,23 +77,100 @@ def _apply_structured_errors(seq: np.ndarray, rng: np.random.Generator,
     return np.array(out if out else [0], dtype=np.int64)
 
 
+# Badread's default ligation adapters (Wick 2019, public defaults): the
+# start adapter is prepended and the end adapter appended, both with a
+# couple of structured errors, mimicking --start_adapter/--end_adapter.
+ADAPTER_START = "AATGTACTTCGTTCAGTTACGTATTGCT"
+ADAPTER_END = "GCAATACGTAACTGAACGAAGT"
+
+
+def _encode_str(s: str) -> np.ndarray:
+    return np.array([_BASES.index(c) for c in s], dtype=np.int64)
+
+
+def _junk_read(rng: np.random.Generator, length: int,
+               mean_err: float) -> np.ndarray:
+    """Badread 'junk read': a very short motif (1-5 bp) repeated for the
+    whole read length, with the usual noise — low-complexity garbage
+    that real flow cells emit."""
+    motif = rng.integers(0, 4, int(rng.integers(1, 6)))
+    tract = np.tile(motif, length // len(motif) + 1)[:length]
+    return _apply_structured_errors(tract, rng, mean_err)
+
+
+def _tr_read(rng, unit_len, freq, mean_err, flank):
+    unit = _rand_unit(rng, unit_len)
+    tract = np.tile(unit, freq)
+    noisy = _apply_structured_errors(tract, rng, mean_err)
+    pre = rng.integers(0, 4, flank)
+    post = rng.integers(0, 4, flank)
+    return unit, np.concatenate([pre, noisy, post])
+
+
 def write_structured_fasta(path: str, units_path: str, unit_len: int,
                            freq: int, mean_err: float, flank: int,
-                           n_reads: int, seed: int = 0) -> None:
+                           n_reads: int, seed: int = 0,
+                           junk_frac: float = 0.0,
+                           random_frac: float = 0.0,
+                           chimera_frac: float = 0.0,
+                           adapters: bool = False) -> None:
     """n_reads reads, each = flank + (unit x freq with structured
-    errors) + flank; truth units to units_path (one per line)."""
+    errors) + flank; truth units to units_path (one per line).
+
+    Badread artifact classes (PacBio_Nanopore_read/Readme's generator;
+    fractions of n_reads, drawn per read in this order):
+      junk_frac    low-complexity junk reads (1-5 bp motif repeated);
+                   truth line "junk"
+      random_frac  uniform random reads with no repeat; truth "random"
+      chimera_frac two TR reads fused end-to-end (adapter in between
+                   when adapters=True); truth "chimera <unitA> <unitB>"
+      adapters     prepend/append Badread's default ligation adapters
+                   (with structured errors) on every non-junk/random
+                   read
+    """
     rng = np.random.default_rng(seed)
+
+    def dec(arr) -> str:
+        return "".join(_BASES[int(c)] for c in arr)
+
     with open(path, "w") as f, open(units_path, "w") as uf:
         for ridx in range(n_reads):
-            unit = _rand_unit(rng, unit_len)
-            tract = np.tile(unit, freq)
-            noisy = _apply_structured_errors(tract, rng, mean_err)
-            pre = rng.integers(0, 4, flank)
-            post = rng.integers(0, 4, flank)
-            read = np.concatenate([pre, noisy, post])
+            roll = rng.random()
+            if roll < junk_frac:
+                read = _junk_read(rng, 2 * flank + unit_len * freq,
+                                  mean_err)
+                truth = "junk"
+            elif roll < junk_frac + random_frac:
+                read = rng.integers(0, 4, 2 * flank + unit_len * freq)
+                truth = "random"
+            elif roll < junk_frac + random_frac + chimera_frac:
+                ua, ra = _tr_read(rng, unit_len, freq, mean_err, flank)
+                ub, rb = _tr_read(rng, unit_len, freq, mean_err, flank)
+                mid = []
+                if adapters:
+                    mid = [
+                        _apply_structured_errors(
+                            _encode_str(ADAPTER_END), rng, mean_err),
+                        _apply_structured_errors(
+                            _encode_str(ADAPTER_START), rng, mean_err),
+                    ]
+                read = np.concatenate([ra] + mid + [rb])
+                truth = f"chimera {dec(ua)} {dec(ub)}"
+            else:
+                unit, read = _tr_read(rng, unit_len, freq, mean_err,
+                                      flank)
+                truth = dec(unit)
+            if adapters and truth not in ("junk", "random"):
+                read = np.concatenate([
+                    _apply_structured_errors(
+                        _encode_str(ADAPTER_START), rng, mean_err),
+                    read,
+                    _apply_structured_errors(
+                        _encode_str(ADAPTER_END), rng, mean_err),
+                ])
             f.write(f">{ridx}\n")  # numeric IDs, like rand_seq (the
             # evaluators key records by int(readID))
-            s = "".join(_BASES[int(c)] for c in read)
+            s = dec(read)
             for lo in range(0, len(s), 80):
                 f.write(s[lo : lo + 80] + "\n")
-            uf.write("".join(_BASES[int(c)] for c in unit) + "\n")
+            uf.write(truth + "\n")
