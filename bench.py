@@ -37,7 +37,7 @@ BASELINE_100x10_READS_PER_S = 17.0
 
 N_READS_200 = int(os.environ.get("MTR_BENCH_READS_200", "20"))
 N_READS_100 = int(os.environ.get("MTR_BENCH_READS", "100"))
-N_REPS = int(os.environ.get("MTR_BENCH_REPS", "2"))
+N_REPS = int(os.environ.get("MTR_BENCH_REPS", "3"))
 PREFLIGHT_S = int(os.environ.get("MTR_BENCH_PREFLIGHT_S", "420"))
 FASTA_200 = "/tmp/mtr_bench_200x200.fasta"
 FASTA_100 = "/tmp/mtr_bench_100x10.fasta"

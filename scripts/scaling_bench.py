@@ -51,16 +51,21 @@ def ensure_fixture():
 
 
 def worker(pid: int, n: int, port: int, prefix: str,
-           backend: str = "host") -> int:
-    os.environ["JAX_PLATFORMS"] = "cpu"
-    import jax
+           backend: str = "host", platform: str = "cpu") -> int:
+    if platform == "cpu":
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
 
-    jax.config.update("jax_platforms", "cpu")
-    if n > 1:
-        jax.distributed.initialize(
-            coordinator_address=f"127.0.0.1:{port}",
-            num_processes=n, process_id=pid,
-        )
+        jax.config.update("jax_platforms", "cpu")
+        if n > 1:
+            jax.distributed.initialize(
+                coordinator_address=f"127.0.0.1:{port}",
+                num_processes=n, process_id=pid,
+            )
+    # platform == "tpu": the accelerator runtime multiplexes the chip
+    # across processes; shard assignment is explicit, so no
+    # jax.distributed coordinator is required (and initializing one over
+    # a single shared chip would mis-declare the topology)
     from mtr_tpu.config import MTRConfig
     from mtr_tpu.parallel.distributed import run_file_sharded
 
@@ -136,7 +141,16 @@ def run_dp_sharded(n: int, total_b: int = 2048) -> dict:
     return json.loads(r.stdout.splitlines()[-1])
 
 
-def run_procs(n: int, backend: str = "host") -> float:
+def _tpu_available() -> bool:
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; print(jax.default_backend())"],
+        capture_output=True, timeout=300, cwd=REPO)
+    return r.returncode == 0 and b"cpu" not in r.stdout
+
+
+def run_procs(n: int, backend: str = "host",
+              platform: str = "cpu") -> float:
     """Compute time for the whole workload under n processes: the MAX of
     the workers' self-reported run_file_sharded times.  Interpreter +
     jax.distributed startup (a per-process constant, ~2 s here) is
@@ -145,22 +159,26 @@ def run_procs(n: int, backend: str = "host") -> float:
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
-    prefix = f"/tmp/mtr_scaling_p{n}_{backend}"
-    env = {**os.environ, "MTR_TPU_THREADS": "1"}
-    env.pop("XLA_FLAGS", None)
-    if backend == "hybrid":
-        # shipping (device-using) pipeline, no Mosaic on CPU devices
-        env["MTR_TPU_XLA_DP"] = "1"
+    prefix = f"/tmp/mtr_scaling_p{n}_{backend}_{platform}"
+    env = {**os.environ}
+    if platform == "cpu":
+        env["MTR_TPU_THREADS"] = "1"
+        env.pop("XLA_FLAGS", None)
     ncores = os.cpu_count() or 1
+    pin = platform == "cpu"
     procs = [
         subprocess.Popen(
-            # one core per process: without pinning, a single process
-            # spreads over every core (pipeline overlap thread + JAX
-            # pool) and the 1-process baseline silently becomes
-            # multi-core, understating scaling efficiency
-            ["taskset", "-c", str(pid % ncores),
-             sys.executable, os.path.abspath(__file__),
-             "--worker", str(pid), str(n), str(port), prefix, backend],
+            # cpu platform: one core per process — without pinning, a
+            # single process spreads over every core (pipeline overlap
+            # thread + JAX pool) and the 1-process baseline silently
+            # becomes multi-core, understating scaling efficiency.
+            # tpu platform: no pinning (the hybrid host leg + JAX
+            # runtime need both cores; the chip is the shared resource
+            # being measured)
+            ((["taskset", "-c", str(pid % ncores)] if pin else [])
+             + [sys.executable, os.path.abspath(__file__),
+                "--worker", str(pid), str(n), str(port), prefix,
+                backend, platform]),
             cwd=REPO, env=env,
             stdout=subprocess.PIPE, stderr=subprocess.PIPE,
         )
@@ -168,7 +186,7 @@ def run_procs(n: int, backend: str = "host") -> float:
     ]
     dts = []
     for p in procs:
-        out, err = p.communicate(timeout=1200)
+        out, err = p.communicate(timeout=2400)
         if p.returncode != 0:
             raise RuntimeError(err.decode()[-2000:])
         dts.append(json.loads(out.decode().splitlines()[-1])["dt"])
@@ -214,11 +232,18 @@ def main() -> int:
     t2 = min(run_procs(2), run_procs(2))
     proc_eff = t1 / (2 * t2)
 
-    # the SHIPPING engine (hybrid: device DP leg + native host leg),
-    # same protocol (VERDICT r3 #3)
-    h1 = min(run_procs(1, "hybrid"), run_procs(1, "hybrid"))
-    h2 = min(run_procs(2, "hybrid"), run_procs(2, "hybrid"))
-    hyb_eff = h1 / (2 * h2)
+    # the SHIPPING engine (hybrid: real-TPU device leg + native host
+    # leg), 2 processes SHARING the one available chip (VERDICT r3 #3).
+    # With one chip this measures contention, not chip scaling — the
+    # per-chip scaling evidence is the host-leg table above plus the
+    # DP-shard table below; a genuine 2-chip row needs 2 chips.
+    hyb = None
+    if _tpu_available():
+        h1 = min(run_procs(1, "hybrid", "tpu"),
+                 run_procs(1, "hybrid", "tpu"))
+        h2 = min(run_procs(2, "hybrid", "tpu"),
+                 run_procs(2, "hybrid", "tpu"))
+        hyb = (h1, h2, h1 / (2 * h2))
 
     # DP-path (ShardedWrapDPBatcher-style shard_map) scaling
     dp = {n: run_dp_sharded(n) for n in (1, 2, 4, 8)}
@@ -239,10 +264,11 @@ def main() -> int:
                   "reads_per_s_1p": round(N_READS / t1, 2),
                   "reads_per_s_2p": round(N_READS / t2, 2),
                   "efficiency": round(proc_eff, 3)},
-        "procs_hybrid": {"t1": round(h1, 2), "t2": round(h2, 2),
-                         "reads_per_s_1p": round(N_READS / h1, 2),
-                         "reads_per_s_2p": round(N_READS / h2, 2),
-                         "efficiency": round(hyb_eff, 3)},
+        "procs_hybrid_1chip": None if hyb is None else {
+            "t1": round(hyb[0], 2), "t2": round(hyb[1], 2),
+            "reads_per_s_1p": round(N_READS / hyb[0], 2),
+            "reads_per_s_2p": round(N_READS / hyb[1], 2),
+            "throughput_ratio": round(hyb[0] / hyb[1], 3)},
         "dp_sharded": {str(n): {"t_wall": round(dp[n]["t_wall"], 4),
                                 "t_shard": round(dp[n]["t_shard"], 4),
                                 "shard_eff": round(
@@ -276,17 +302,22 @@ def main() -> int:
             f"| 2 | {result['procs']['t2']} | "
             f"{result['procs']['reads_per_s_2p']} | "
             f"{result['procs']['efficiency']} |\n\n"
-            "Same protocol with the SHIPPING engine (hybrid: device DP "
-            "leg via the pure-XLA counts kernel on the CPU devices + "
-            "native host leg):\n\n"
-            "| processes | wall s | reads/s | efficiency |\n"
+            + ("" if result["procs_hybrid_1chip"] is None else (
+            "Same protocol with the SHIPPING engine (hybrid: real-TPU "
+            "device leg + native host leg), both processes sharing the "
+            "ONE available chip — a contention measurement, not chip "
+            "scaling (each real host would own its chips; the per-chip "
+            "evidence is the host-leg table and the DP-shard table):"
+            "\n\n"
+            "| processes | wall s | reads/s | throughput vs 1p |\n"
             "|---|---|---|---|\n"
-            f"| 1 | {result['procs_hybrid']['t1']} | "
-            f"{result['procs_hybrid']['reads_per_s_1p']} | 1.000 |\n"
-            f"| 2 | {result['procs_hybrid']['t2']} | "
-            f"{result['procs_hybrid']['reads_per_s_2p']} | "
-            f"{result['procs_hybrid']['efficiency']} |\n\n"
-            "## 2. DP-path scaling (ShardedWrapDPBatcher axis)\n\n"
+            f"| 1 | {result['procs_hybrid_1chip']['t1']} | "
+            f"{result['procs_hybrid_1chip']['reads_per_s_1p']} | 1.00 |\n"
+            "| 2 (1 chip shared) | "
+            f"{result['procs_hybrid_1chip']['t2']} | "
+            f"{result['procs_hybrid_1chip']['reads_per_s_2p']} | "
+            f"{result['procs_hybrid_1chip']['throughput_ratio']} |\n\n"))
+            + "## 2. DP-path scaling (ShardedWrapDPBatcher axis)\n\n"
             "A fixed 2048-job wrap-DP chunk (unit 100, rep 2048) "
             "sharded over the 'dp' mesh axis exactly as "
             "`ShardedWrapDPBatcher` shards every chunk; engine = the "
@@ -336,5 +367,6 @@ if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--worker":
         sys.exit(worker(int(sys.argv[2]), int(sys.argv[3]),
                         int(sys.argv[4]), sys.argv[5],
-                        sys.argv[6] if len(sys.argv) > 6 else "host"))
+                        sys.argv[6] if len(sys.argv) > 6 else "host",
+                        sys.argv[7] if len(sys.argv) > 7 else "cpu"))
     sys.exit(main())
