@@ -16,7 +16,11 @@ of the reference's one-matrix-at-a-time scalar fills:
 Phases 3/5 speculate across ranges: the reference suppresses some
 pending ranges after an acceptance (handle_one_read.c:178-188), which
 only SKIPS queries, so computing every range up front and replaying the
-acceptance order afterwards yields byte-identical output.
+acceptance order afterwards yields byte-identical output.  With
+MTR_TPU_WAVES=1 the speculation is wave-pruned instead (see
+process_batch): ~99% of suppressible ranges never compute, at the cost
+of serializing the later waves against the device leg — measured
+slower on the shipping hybrid engine, hence opt-in (PERF.md).
 """
 
 from __future__ import annotations
@@ -46,7 +50,7 @@ from mtr_tpu.oracle.dbg import (
     MAX_PERIOD,
 )
 from mtr_tpu.oracle.wrap_dp import _assign
-from mtr_tpu.oracle.consensus import polish_repeat, rebuild_unit_from_consensus
+from mtr_tpu.oracle.consensus import polish_repeat
 
 # Every distinct (B, u_pad, r_pad) bucket is a separate Pallas program
 # whose FIRST execution on a proxied TPU backend costs minutes of
