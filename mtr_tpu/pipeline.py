@@ -59,6 +59,13 @@ from mtr_tpu.oracle.consensus import polish_repeat
 # compute by the chunk's longest query, not the bucket size.
 import os as _os
 
+
+def _env_flag(name: str) -> bool:
+    """Boolean env knob: unset, empty, and "0" are all OFF (a plain
+    truthiness test would read FLAG=0 as enabled)."""
+    return _os.environ.get(name, "") not in ("", "0")
+
+
 R_BUCKETS = (4096, 32768, 65536, 262144, 1048576)
 # consensus-mode (polish) jobs are coverage-bounded (repeat_len <=
 # 20*MAX_PERIOD, handle_one_read.c:95-98): finer rep buckets keep the
@@ -789,15 +796,18 @@ class HybridDPBatcher:
             # cost to ~nothing, so the crossover sits far lower than
             # round 2's 4M-cell default: >=256k-cell jobs (~96% of all
             # cells on long-read workloads) amortize a dispatch easily
-            cell_threshold = int(
-                _os.environ.get("MTR_TPU_HYBRID_CELLS", str(1 << 18)))
-            from mtr_tpu import native
+            env_cells = _os.environ.get("MTR_TPU_HYBRID_CELLS")
+            if env_cells is not None:
+                cell_threshold = int(env_cells)  # explicit override wins
+            else:
+                cell_threshold = 1 << 18
+                from mtr_tpu import native
 
-            if not native.available():
-                # no native host leg: its oracle fallback is orders of
-                # magnitude slower than a device dispatch, so ship every
-                # counts job to the device (consensus jobs stay host)
-                cell_threshold = 0
+                if not native.available():
+                    # no native host leg: its oracle fallback is orders
+                    # of magnitude slower than a device dispatch, so ship
+                    # every counts job to the device (consensus stays host)
+                    cell_threshold = 0
         self.cell_threshold = cell_threshold
         # polish (consensus-mode) jobs ship to the device above this
         # many cells; default keeps them host (the measured win on
@@ -1100,8 +1110,8 @@ def wave1_positions(states, cfg=None):
     right trade when walk CPU is the scarce resource (e.g. many-core
     hosts feeding one chip, or host-only runs at parity)."""
     sel = []
-    waves = bool(_os.environ.get("MTR_TPU_WAVES")) and not bool(
-        _os.environ.get("MTR_TPU_NO_WAVES"))
+    waves = _env_flag("MTR_TPU_WAVES") and not _env_flag(
+        "MTR_TPU_NO_WAVES")
     for st in states:
         pos = _live_positions(st)
         if not waves or not len(pos):
@@ -1112,7 +1122,11 @@ def wave1_positions(states, cfg=None):
         excl = np.empty_like(runmax)
         excl[0] = -1
         excl[1:] = runmax[:-1]
-        sel.append(pos[excl <= qe])
+        # strict <: an equal-end earlier range CAN still suppress p
+        # (rep_end = qs + max_i may reach qe_q + 1, so rep_end > qe_p
+        # is possible when qe_q == qe_p); keeping such positions out of
+        # wave 1 preserves the "no earlier range can suppress" invariant
+        sel.append(pos[excl < qe])
     return sel
 
 
@@ -1459,7 +1473,10 @@ def process_batch(states: list[ReadState], batcher: WrapDPBatcher,
                     de_s[kill] = -1
             pos_sel.append(np.asarray(need, dtype=pos.dtype))
             n_new += len(need)
-        assert n_new > 0, "wave selection stalled with unfinished reads"
+        if n_new == 0:  # explicit raise: an assert vanishes under -O,
+            # turning a selection stall into a silent infinite loop
+            raise RuntimeError(
+                "wave selection stalled with unfinished reads")
         TIMERS.count("waves_extra")
         _tw = time.time()
         queries = walk_batch(states, cfg, pos_sel)
