@@ -34,6 +34,13 @@ import time
 # Makefile, no -O): BASELINE.md.  Re-derivable: /tmp/refbuild/mTR.
 BASELINE_200x200_READS_PER_S = 0.328   # 5 reads in 15.24 s
 BASELINE_100x10_READS_PER_S = 17.0
+# The stock Makefile ships NO -O flag (Makefile:5-12).  The honest
+# comparison is the same source at -O2 (VERDICT r4 #1): rebuilt with
+# CFLAGS += -O2 (output byte-identical on both bench sets), measured
+# best-of-N on this container, 1 core: 20 north-star reads in 24.84 s;
+# 100 short reads in 2.22 s.  Re-derivable: build_reference_O2().
+BASELINE_200x200_O2_READS_PER_S = 0.805
+BASELINE_100x10_O2_READS_PER_S = 44.9
 
 N_READS_200 = int(os.environ.get("MTR_BENCH_READS_200", "20"))
 N_READS_100 = int(os.environ.get("MTR_BENCH_READS", "100"))
@@ -106,6 +113,35 @@ def ensure_reference():
             shutil.copy(f, bld)
     r = subprocess.run(["make"], cwd=bld, capture_output=True)
     return r.returncode == 0 and os.path.exists(REF_BIN)
+
+
+def build_reference_O2(dest="/tmp/refbuild/mTR_O2"):
+    """Rebuild the unmodified reference source at -O2 (the honest
+    baseline build — the stock Makefile has no -O flag).  Returns the
+    binary path or None."""
+    if os.path.exists(dest):
+        return dest
+    if not ensure_reference():
+        return None
+    import glob
+    import shutil
+
+    bld = "/tmp/refbuild_O2"
+    os.makedirs(bld, exist_ok=True)
+    for pat in ("*.c", "*.cpp", "*.h", "Makefile"):
+        for f in glob.glob(os.path.join("/tmp/refbuild", pat)):
+            shutil.copy(f, bld)
+    mk = os.path.join(bld, "Makefile")
+    txt = open(mk).read().replace(
+        "CFLAGS\t= -std=c99", "CFLAGS\t= -O2 -std=c99").replace(
+        "$(CPP) -c $<", "$(CPP) -O2 -c $<")
+    open(mk, "w").write(txt)
+    r = subprocess.run(["make"], cwd=bld, capture_output=True)
+    built = os.path.join(bld, "mTR")
+    if r.returncode != 0 or not os.path.exists(built):
+        return None
+    shutil.copy(built, dest)
+    return dest
 
 
 def reference_golden(fasta, pearson=False):
@@ -266,9 +302,20 @@ def child(backend, fasta, n_reads, n_reps):
     return 0
 
 
-def _gcups_one(fn, b, u_pad, unit_len, r_pad, r1, r2):
+def _gcups_one(fn, b, u_pad, unit_len, r_pad, r1, r2, chain=8):
     """Slope-method GCUPS for one engine: two rep_len points on ONE
-    compiled program, so dispatch/transfer fixed costs cancel."""
+    compiled program, so dispatch/transfer fixed costs cancel.
+
+    The raw slope signal (a few ms) can drown under per-dispatch proxy
+    latency (30-70 ms on tunneled sessions — the round-4 null).  Fix:
+    CHAIN `chain` kernel invocations inside one jitted program (batch
+    rolled between iterations so XLA cannot CSE them), multiplying the
+    device-time signal without multiplying dispatch cost.  If the
+    ratio gate still fails after escalating reps, fall back to a
+    single-point estimate that DIVIDES BY the full call time — fixed
+    costs then deflate, never inflate, the published number."""
+    import jax
+    import jax.numpy as jnp
     import numpy as np
 
     rng = np.random.default_rng(0)
@@ -286,28 +333,44 @@ def _gcups_one(fn, b, u_pad, unit_len, r_pad, r1, r2):
         scal[:, 2:5] = (1, 1, 3)
         return scal, repa, units
 
-    def t(args):
-        np.asarray(fn(*args))
+    @jax.jit
+    def chained(scal, rep, units):
+        acc = jnp.zeros((), jnp.int32)
+        r = rep
+        for _ in range(chain):
+            acc = acc + jnp.sum(fn(scal, r, units))
+            r = jnp.roll(r, 1, axis=0)  # defeats CSE across iterations
+        return acc
+
+    def t(args, reps):
+        # sync via host pull: on the axon proxy block_until_ready has
+        # been observed to return before the computation finishes
+        # (measured: chained x8 "completed" in single-call time)
+        int(chained(*args))
         ts = []
-        for _ in range(3):
+        for _ in range(reps):
             t0 = time.time()
-            np.asarray(fn(*args))
+            int(chained(*args))
             ts.append(time.time() - t0)
         return min(ts)
 
     i1, i2 = inputs(r1), inputs(r2)
-    for _attempt in range(4):
-        t1, t2 = t(i1), t(i2)
+    reps = 3
+    for _attempt in range(6):
+        # interleaved: session drift hits both points equally
+        t1, t2 = t(i1, reps), t(i2, reps)
+        t1, t2 = min(t1, t(i1, reps)), min(t2, t(i2, reps))
         # r2/r1 = 3-4x rows: a slope with t2 barely above t1 is a
         # session-speed glitch that INFLATES GCUPS arbitrarily (one run
         # published 76.8 for a kernel that measures 27 carefully);
         # demand a plausible ratio before trusting the difference
         if t2 > 1.5 * t1:
-            break
-    if t2 <= 1.5 * t1:  # timing noise (proxied terminals): null, not inf
-        return None
-    per_row = (t2 - t1) / (r2 - r1)
-    return b * unit_len / per_row / 1e9
+            per_row = (t2 - t1) / (r2 - r1) / chain
+            return b * unit_len / per_row / 1e9
+        reps = min(reps + 2, 7)
+    # noise won 6 rounds: publish the conservative single-point bound
+    # (full call time incl. dispatch) rather than null (VERDICT r4 #2)
+    return chain * b * unit_len * r2 / t2 / 1e9
 
 
 def child_gcups():
@@ -320,16 +383,19 @@ def child_gcups():
         from mtr_tpu.ops.wrap_dp_xla import make_wrap_dp_counts_xla
 
         g1 = _gcups_one(make_wrap_dp_counts_xla(B_FUSED2, 128, 4096),
-                        B_FUSED2, 128, 100, 4096, 1024, 4096)
+                        B_FUSED2, 128, 100, 4096, 1024, 4096, chain=32)
         print(json.dumps({"gcups": g1, "gcups_w": None}))
         return 0
     from mtr_tpu.ops.wrap_dp_fused2 import make_wrap_dp_fused2
     from mtr_tpu.ops.wrap_dp_fused2w import make_wrap_dp_fused2w
 
+    # chain=32 at unit 100: the per-call device time (~1 ms) needs the
+    # multiplier to rise above tunnel dispatch latency; the wide kernel
+    # is ~30 ms/call already, chain=8 suffices
     g1 = _gcups_one(make_wrap_dp_fused2(B_FUSED2, 4096),
-                    B_FUSED2, 128, 100, 4096, 1024, 4096)
+                    B_FUSED2, 128, 100, 4096, 1024, 4096, chain=32)
     g2 = _gcups_one(make_wrap_dp_fused2w(B_FUSED2W, 32768),
-                    B_FUSED2W, 256, 200, 32768, 8192, 24576)
+                    B_FUSED2W, 256, 200, 32768, 8192, 24576, chain=8)
     print(json.dumps({"gcups": g1, "gcups_w": g2}))
     return 0
 
@@ -473,6 +539,8 @@ def main():
         "value": round(rate200, 3),
         "unit": "reads/s",
         "vs_baseline": round(rate200 / BASELINE_200x200_READS_PER_S, 3),
+        # vs the same source rebuilt at -O2 (the fair-compile baseline)
+        "vs_baseline_O2": round(rate200 / BASELINE_200x200_O2_READS_PER_S, 3),
         "wrap_dp_gcups": gc,
         "wrap_dp_gcups_u200": gcw,
         "output_equality_rate": eq,
@@ -481,6 +549,9 @@ def main():
             "backend": b100,
             "reads_per_s": round(rate100, 3) if rate100 else None,
             "vs_baseline": round(rate100 / BASELINE_100x10_READS_PER_S, 3)
+            if rate100 else None,
+            "vs_baseline_O2": round(
+                rate100 / BASELINE_100x10_O2_READS_PER_S, 3)
             if rate100 else None,
         },
         # per-engine reads/s (transparency: winner margins vs session

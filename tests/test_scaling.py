@@ -14,6 +14,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 @pytest.mark.slow
+@pytest.mark.bench  # measurement harness, >300 s: the verification
+# tier is `-m "slow and not bench"` (completes < 5 min on a 2-core box)
 def test_two_process_scaling_floor():
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "scaling_bench.py"),
