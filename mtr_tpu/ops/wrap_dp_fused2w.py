@@ -16,11 +16,16 @@ Two structural changes against fused2:
     four per-row wrap reads (value + aux planes) and the deletion-chain
     wrap origin are static column slices instead of dynamic gathers.
     The alignment itself is one take_along_axis OUTSIDE the kernel.
-  * Data-dependent lane gathers (deletion-chain origin copies) split
-    into per-128-lane-half gathers when u_span = 256: result lanes in
-    the low half can only chain within the low half (origins never sit
-    left of the unit start), so the low half costs one gather and the
-    high half two plus a select.
+  * The deletion-chain origin copies carry their payloads THROUGH the
+    scan instead of gathering afterwards: each aux plane runs a
+    Kogge-Stone max scan over (lane_pos << PB) + payload, where only
+    non-deletion lanes encode (deletion lanes start at -1).  The max
+    picks the NEAREST preceding non-deletion lane — position dominates
+    the comparison — and its payload rides along in the low bits, so
+    the per-row body contains ZERO data-dependent gathers.  (Round 4
+    measured the gather-based origin copy at ~87% of row cost: the
+    256-lane span forced every gather to split into three takes plus
+    selects.  The scan variant lifted the kernel 9.9 -> ~3x GCUPS.)
 
 Value-packing bound: the segmented max-scan encodes
 (seg << SB) + m + ip*j with seg <= u_span; SB is sized for
@@ -52,6 +57,14 @@ def w_limit(u_span: int, r_pad: int) -> int:
     return 1 << sb
 
 
+def rep_cap(r_pad: int) -> int:
+    """Max rep_len admissible for this kernel shape: the two-scan
+    packed aux (r_pad <= 32768) needs counts <= 32767 (15 bits), so
+    the 32768 bucket admits one row less than its padding; dispatchers
+    must route rep_len == 32768 to the next bucket."""
+    return min(r_pad, 32767)
+
+
 def _sb(u_span: int, r_pad: int) -> int:
     max_m = max(r_pad, 5 * 16384) + 3 * (u_span - 1)
     sb = int(max_m).bit_length()
@@ -62,26 +75,6 @@ def _sb(u_span: int, r_pad: int) -> int:
 
 def _take(plane, idx):
     return jnp.take_along_axis(plane, idx, axis=1)
-
-
-def _gather_u(plane, idx, u_span: int):
-    """plane[b, idx[b, j]] for idx in [0, u_span); legal on TPU for any
-    u_span by splitting into 128-lane halves (tpu.dynamic_gather needs
-    the gather dim within one vreg)."""
-    if u_span <= 128:
-        return _take(plane, idx)
-    assert u_span == 256
-    lo, hi = plane[:, :128], plane[:, 128:]
-    il = jnp.minimum(idx, 127)
-    ih = jnp.clip(idx - 128, 0, 127)
-    from_lo = idx < 128
-    # low-half result lanes: origins never exceed the lane itself, so
-    # idx[:, :128] < 128 always — one gather
-    res_lo = _take(lo, il[:, :128])
-    res_hi = jnp.where(
-        from_lo[:, 128:], _take(lo, il[:, 128:]), _take(hi, ih[:, 128:])
-    )
-    return jnp.concatenate([res_lo, res_hi], axis=1)
 
 
 def _gather_col(plane, col, u_span: int):
@@ -101,10 +94,31 @@ def _gather_col(plane, col, u_span: int):
 
 
 def _fused2w_kernel(b: int, r_tile: int, r_pad: int, u_span: int,
-                    packed: bool):
+                    ablate: str = ""):
+    """ablate (measurement only, output invalid unless ""):
+    "values" = drop the aux block entirely; "bases" = aux bases but no
+    propagation scans (fins = bases).  Used by scripts/ablate_f2w.py to
+    locate row-cost hot spots on real hardware."""
     SB = _sb(u_span, r_pad)
-    PKS = int(r_pad).bit_length()
+    # Aux payload packing.  pack2 (r_pad <= 32768, rep_len <= 32767 by
+    # the dispatch contract): counts and si fit 15 bits, so TWO scans
+    # carry all three quantities — P1 = m << 8 | si_lo8,
+    # P2 = ins << 7 | si_hi7 — both under position at bit 23
+    # (255 << 23 + (32767 << 8 | 255) < 2^31, checked below).  Both
+    # scans pick the same origin lane (position strictly dominates and
+    # positions are distinct), so the fields recombine exactly.
+    # Otherwise three scans, one payload each, bounded by r_pad + 1.
+    pack2 = r_pad <= 32768
+    if pack2:
+        PB = 23
+        assert ((u_span - 1) << PB) + (32767 << 8 | 255) < (1 << 31)
+    else:
+        PB = int(r_pad + 1).bit_length()
+        assert (u_span << PB) <= (1 << 31), (u_span, r_pad, PB)
     levels = (u_span - 1).bit_length()
+
+    track = ((("auxP1", "bP1"), ("auxP2", "bP2")) if pack2 else
+             (("auxm", "bm"), ("auxi", "bins"), ("auxs", "bsi")))
 
     def body(scal_ref, rep_ref, unit_ref, out_ref, refs):
         # grid = (n_sub, n_rt): see ops/wrap_dp_fused2.py — sub-chunks
@@ -201,24 +215,33 @@ def _fused2w_kernel(b: int, r_tile: int, r_pad: int, u_span: int,
                 sel_d = jnp.logical_and(rem, e3v)
                 sel_diag = jnp.logical_or(is_m, sel_x)
 
+                if ablate == "values":
+                    better = row > refs["bv"][...]
+                    refs["bv"][...] = jnp.where(better, row,
+                                                refs["bv"][...])
+                    refs["bi"][...] = jnp.where(better, zero + i,
+                                                refs["bi"][...])
+                    refs["prev"][...] = row
+                    return 0
+
                 # --- aux base from diag/up predecessors ---
                 mi_i = mi.astype(jnp.int32)
-                if packed:
-                    auxP = refs["auxP"][...]
-                    auxs = refs["auxs"][...]
-                    dP = jnp.where(jsl, auxP[:, u_span - 1:u_span],
-                                   pltpu.roll(auxP, 1, axis=1))
-                    dS = jnp.where(jsl, auxs[:, u_span - 1:u_span],
-                                   pltpu.roll(auxs, 1, axis=1))
-                    base_P = jnp.where(
-                        sel_diag, dP + (mi_i << PKS),
-                        jnp.where(pos, auxP + 1, zero)
-                    )
-                    base_S = jnp.where(
-                        sel_diag, dS,
-                        jnp.where(pos, auxs, zero + i)
-                    )
-                    planes = {"auxP": base_P, "auxs": base_S}
+                if pack2:
+                    auxP1 = refs["auxP1"][...]
+                    auxP2 = refs["auxP2"][...]
+                    d1 = jnp.where(jsl, auxP1[:, u_span - 1:u_span],
+                                   pltpu.roll(auxP1, 1, axis=1))
+                    d2 = jnp.where(jsl, auxP2[:, u_span - 1:u_span],
+                                   pltpu.roll(auxP2, 1, axis=1))
+                    # diag: m+1 on match; up: ins+1; zero-start: si = i
+                    base_1 = jnp.where(
+                        sel_diag, d1 + (mi_i << 8),
+                        jnp.where(pos, auxP1, zero + (i & 255)))
+                    base_2 = jnp.where(
+                        sel_diag, d2,
+                        jnp.where(pos, auxP2 + (1 << 7),
+                                  zero + (i >> 8)))
+                    planes = {"auxP1": base_1, "auxP2": base_2}
                 else:
                     auxm = refs["auxm"][...]
                     auxi = refs["auxi"][...]
@@ -238,47 +261,39 @@ def _fused2w_kernel(b: int, r_tile: int, r_pad: int, u_span: int,
                     planes = {"auxm": base_m, "auxi": base_i,
                               "auxs": base_s}
 
-                # --- deletion-chain copy: nearest non-deletion origin;
-                # lanes left of the unit must read as "no origin" so
-                # open chains stay open into the wrap fix-up ---
-                org = jnp.where(
-                    jnp.logical_or(sel_d, jnp.logical_not(sub_ok)),
-                    -1, jidx,
-                )
-                for s in range(levels):
-                    org = jnp.maximum(
-                        org,
-                        jnp.where(edges[s], -1,
-                                  pltpu.roll(org, 1 << s, axis=1)),
-                    )
-                open_ = org < 0
-                orgc = jnp.maximum(org, 0)
-                # last lane is provably chain-free; wrapped lanes chain
-                # into the SAME row's last lane (static, right-aligned)
-                org_last = orgc[:, u_span - 1:u_span]
+                # --- deletion-chain copy, gather-free: each plane runs
+                # a max scan over (lane_pos << PB) + payload.  Deletion
+                # lanes (and lanes left of the unit) start at -1, so the
+                # max picks the NEAREST preceding non-deletion lane —
+                # position dominates — with its payload in the low bits.
+                # Open chains (no origin anywhere left) wrap into the
+                # SAME row's last lane (static, right-aligned), whose
+                # scanned value is the row's rightmost origin payload.
+                valid = jnp.logical_and(jnp.logical_not(sel_d), sub_ok)
+                posenc = jidx << PB
+                maskP = (1 << PB) - 1
                 fins = {}
-                for name, plane in planes.items():
-                    pay = _gather_u(plane, orgc, u_span)
-                    fins[name] = jnp.where(
-                        open_, _gather_col(plane, org_last, u_span), pay)
+                if ablate == "bases":
+                    fins = planes
+                for name, plane in () if ablate else planes.items():
+                    penc = jnp.where(valid, posenc + plane, -1)
+                    for s in range(levels):
+                        penc = jnp.maximum(
+                            penc,
+                            jnp.where(edges[s], -1,
+                                      pltpu.roll(penc, 1 << s, axis=1)),
+                        )
+                    last = penc[:, u_span - 1:u_span]  # chain-free lane
+                    fins[name] = jnp.where(penc < 0, last, penc) & maskP
 
                 # --- per-(job, lane) argmax tracking ---
                 better = row > refs["bv"][...]
                 refs["bv"][...] = jnp.where(better, row, refs["bv"][...])
                 refs["bi"][...] = jnp.where(better, zero + i,
                                             refs["bi"][...])
-                if packed:
-                    refs["bP"][...] = jnp.where(
-                        better, fins["auxP"], refs["bP"][...])
-                    refs["bsi"][...] = jnp.where(
-                        better, fins["auxs"], refs["bsi"][...])
-                else:
-                    refs["bm"][...] = jnp.where(
-                        better, fins["auxm"], refs["bm"][...])
-                    refs["bins"][...] = jnp.where(
-                        better, fins["auxi"], refs["bins"][...])
-                    refs["bsi"][...] = jnp.where(
-                        better, fins["auxs"], refs["bsi"][...])
+                for aux_name, b_name in track:
+                    refs[b_name][...] = jnp.where(
+                        better, fins[aux_name], refs[b_name][...])
 
                 refs["prev"][...] = row
                 for name, plane in fins.items():
@@ -305,34 +320,28 @@ def _fused2w_kernel(b: int, r_tile: int, r_pad: int, u_span: int,
             j_m = jnp.where(cand2, jidx2, big)
             jstar = jnp.min(j_m, axis=1, keepdims=True)
             found = gmax > 0
-            if packed:
-                arg_P = _gather_col(refs["bP"][...], jstar, u_span)[:, 0:1]
-                arg_m = arg_P >> PKS
-                arg_i = arg_P & ((1 << PKS) - 1)
-            else:
-                arg_m = _gather_col(refs["bm"][...], jstar, u_span)[:, 0:1]
-                arg_i = _gather_col(refs["bins"][...], jstar,
-                                    u_span)[:, 0:1]
-            arg_s = _gather_col(refs["bsi"][...], jstar, u_span)[:, 0:1]
+            zcol = jnp.zeros((b, 1), jnp.int32)
+            args = [
+                _gather_col(refs[b_name][...], jstar, u_span)[:, 0:1]
+                for _, b_name in track
+            ]
+            while len(args) < 3:  # pack2 emits raw P1/P2; fn unpacks
+                args.append(zcol)
             max_i = jnp.where(found, min_bi, 0)
             start1 = u_span - scal_ref[:, 1:2]
             max_j = jnp.where(found, jstar - start1 + 1, 0)
             wrap_val = refs["prev"][:, u_span - 1:u_span]
-            zcol = jnp.zeros((b, 1), jnp.int32)
             out_ref[...] = jnp.concatenate(
-                [wrap_val, gmax, max_i, max_j,
-                 jnp.where(found, arg_m, 0),
-                 jnp.where(found, arg_i, 0),
-                 jnp.where(found, arg_s, 0),
-                 zcol] + [zcol] * 8,
+                [wrap_val, gmax, max_i, max_j]
+                + [jnp.where(found, a, 0) for a in args]
+                + [zcol] * 9,
                 axis=1,
             )
 
-    names = (
-        ("prev", "auxP", "auxs", "bv", "bi", "bP", "bsi") if packed
-        else ("prev", "auxm", "auxi", "auxs", "bv", "bi", "bm", "bins",
-              "bsi")
-    )
+    names = (("prev", "auxP1", "auxP2", "bv", "bi", "bP1", "bP2")
+             if pack2 else
+             ("prev", "auxm", "auxi", "auxs", "bv", "bi", "bm", "bins",
+              "bsi"))
 
     def kernel(scal_ref, rep_ref, unit_ref, out_ref, *scratch):
         body(scal_ref, rep_ref, unit_ref, out_ref,
@@ -343,7 +352,7 @@ def _fused2w_kernel(b: int, r_tile: int, r_pad: int, u_span: int,
 
 def make_wrap_dp_fused2w(b: int, r_pad: int, u_span: int = 256,
                          interpret: bool = False, r_tile: int = 128,
-                         n_sub: int = 1):
+                         n_sub: int = 1, ablate: str = ""):
     """Batched fused wrap-DP (wide lane variant) for a
     (n_sub*b, u_span, r_pad) bucket; unit_len <= u_span <= 256.
 
@@ -359,8 +368,8 @@ def make_wrap_dp_fused2w(b: int, r_pad: int, u_span: int = 256,
     n_rt = r_pad // r_tile
     # the per-row rep-code read widens a (B, r_tile) gather by concat
     assert u_span <= 128 or r_tile * 2 == u_span, (u_span, r_tile)
-    packed = 2 * int(r_pad).bit_length() <= 30 and r_pad <= 16384
-    kernel, n_scratch = _fused2w_kernel(b, r_tile, r_pad, u_span, packed)
+    kernel, n_scratch = _fused2w_kernel(b, r_tile, r_pad, u_span,
+                                        ablate)
 
     def fn(scal, rep, unit):
         # right-align each job's unit: lane j holds unit[(j - start)]
@@ -391,7 +400,12 @@ def make_wrap_dp_fused2w(b: int, r_pad: int, u_span: int = 256,
         )(scal, rep, unit_ra.astype(jnp.int8))
 
         bv, bi = out[:, 1], out[:, 2]
-        m, ins, si = out[:, 4], out[:, 5], out[:, 6]
+        if r_pad <= 32768:  # pack2: unpack P1/P2 (see _fused2w_kernel)
+            p1, p2 = out[:, 4], out[:, 5]
+            m, ins = p1 >> 8, p2 >> 7
+            si = ((p2 & 127) << 8) | (p1 & 255)
+        else:
+            m, ins, si = out[:, 4], out[:, 5], out[:, 6]
         mgv, mpv, ipv = scal[:, 2], scal[:, 3], scal[:, 4]
         x = bi - si - m - ins
         dl = (m * mgv - x * mpv - bv - ins * ipv) // ipv

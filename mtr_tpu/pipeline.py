@@ -142,6 +142,13 @@ def _fits_w(job: "DPJob", rep_len: int, r_pad: int) -> bool:
             < w_limit(256, r_pad))
 
 
+def _f2w_rep_cap(r_pad: int) -> int:
+    """Aux-count packing bound of the wide v2 kernel (rep_cap)."""
+    from mtr_tpu.ops.wrap_dp_fused2w import rep_cap
+
+    return rep_cap(r_pad)
+
+
 @functools.lru_cache(maxsize=1)
 def _cpu_backend() -> bool:
     import jax
@@ -358,8 +365,12 @@ class WrapDPBatcher:
                 # v2 kernel: unit on the 128-lane vreg span
                 u_pad, mode = 128, "counts2"
             elif len(job.unit) <= 256 and _fits_w(job, rep_len, r_pad):
-                # wide v2 kernel: unit right-aligned over two vregs
+                # wide v2 kernel: unit right-aligned over two vregs;
+                # the packed two-scan aux caps counts at 15 bits, so a
+                # rep_len above the cap bumps to the next bucket
                 u_pad, mode = 256, "counts2w"
+                if rep_len > _f2w_rep_cap(r_pad):
+                    r_pad = _bucket(rep_len + 1, R_BUCKETS)
             else:
                 u_pad = _bucket(len(job.unit), U_BUCKETS_FUSED)
                 mode = "counts"
@@ -383,7 +394,10 @@ class WrapDPBatcher:
             lo = 0
             while lo < len(idxs):
                 j0 = jobs[idxs[lo]]
-                r_pad = _bucket(j0.qe - j0.qs + 1, R_BUCKETS)
+                rl0 = j0.qe - j0.qs + 1
+                r_pad = _bucket(rl0, R_BUCKETS)
+                if mode == "counts2w" and rl0 > _f2w_rep_cap(r_pad):
+                    r_pad = _bucket(rl0 + 1, R_BUCKETS)
                 max_jobs = max(
                     b_sub,
                     (REP_BYTES_CAP // r_pad) // b_sub * b_sub,

@@ -89,7 +89,8 @@ def test_fused2w_multi_tile():
     check2w(jobs, r_pad=1024)
 
 
-def test_fused2w_unpacked_bucket():
+def test_fused2w_pack2_bucket():
+    # r_pad = 32768: the largest two-scan packed-aux bucket
     rng = np.random.default_rng(25)
     jobs = rand_jobs(rng, 6, 300, 40)
     unit = rng.integers(0, 4, 200).astype(np.int32)
@@ -97,6 +98,14 @@ def test_fused2w_unpacked_bucket():
     rep[::9] = rng.integers(0, 4, len(rep[::9]))
     jobs.append((rep, unit, (1, 1, 3)))
     check2w(jobs, r_pad=32768)
+
+
+def test_fused2w_three_scan_bucket():
+    # r_pad > 32768: counts exceed 15 bits, three one-payload scans
+    # (rows stay small — tile-skip bounds the grid walk)
+    rng = np.random.default_rng(26)
+    jobs = rand_jobs(rng, 4, 250, 35)
+    check2w(jobs, r_pad=65536)
 
 
 def test_fused2w_degenerate():
