@@ -603,11 +603,16 @@ static void walk_backward(const CountTable& t, int64_t qs, int64_t qe,
 
 // One (range, k) query.  Mirrors oracle walk_candidates: up to one
 // candidate per direction (first looping start node), plus the
-// last-backward-attempt foundLoop return value.
+// last-backward-attempt foundLoop return value.  out_pure_max (may be
+// null) receives the max count seen during the PURE k-mer phase of
+// the table build (before the raw-base tail) — the quantity that
+// bounds every larger k's reachable max_freq (see the ascending-k
+// early-out in mtr_dbg_walk_batch2).
 int mtr_dbg_walk(const int32_t* org, int64_t input_len, int64_t qs, int64_t qe,
                  int k,
                  int* fwd_found, int* fwd_period, int32_t* fwd_unit, int32_t* fwd_scores,
-                 int* bwd_found, int* bwd_period, int32_t* bwd_unit, int32_t* bwd_scores) {
+                 int* bwd_found, int* bwd_period, int32_t* bwd_unit, int32_t* bwd_scores,
+                 int64_t* out_pure_max) {
     *fwd_found = 0; *bwd_found = 0; *fwd_period = 0; *bwd_period = 0;
     int64_t pow4[16];
     pow4[0] = 1;
@@ -619,6 +624,7 @@ int mtr_dbg_walk(const int32_t* org, int64_t input_len, int64_t qs, int64_t qe,
     static thread_local std::vector<int64_t> vals;
     static thread_local CountTable t;
     int64_t max_freq = -1;
+    int64_t pure_max = 0;  // max count over the k-mer phase only
     int64_t t1 = t0;
     if (timed) {
         // exact per-stage attribution (-c): separate vals pass (the
@@ -626,9 +632,12 @@ int mtr_dbg_walk(const int32_t* org, int64_t input_len, int64_t qs, int64_t qe,
         query_vals(org, input_len, k, qs, qe, vals);
         t1 = now_ns();
         t.reset(vals.size());
-        for (int64_t v : vals) {
-            int64_t c = t.add(v);
+        int64_t km_count = std::max((int64_t)0,
+                                    std::min(qe, input_len - k + 1) - qs);
+        for (size_t vi = 0; vi < vals.size(); vi++) {
+            int64_t c = t.add(vals[vi]);
             if (c > max_freq) max_freq = c;
+            if ((int64_t)vi < km_count && c > pure_max) pure_max = c;
         }
     } else {
         // fast path: rolling codes feed the table directly (one pass,
@@ -664,11 +673,13 @@ int mtr_dbg_walk(const int32_t* org, int64_t input_len, int64_t qs, int64_t qe,
             int64_t c = t.add(code);
             if (c > max_freq) max_freq = c;
         }
+        pure_max = std::max(max_freq, (int64_t)0);
         for (int64_t i = km_end; i <= qe; i++) {
             int64_t c = t.add(org[i]);
             if (c > max_freq) max_freq = c;
         }
     }
+    if (out_pure_max) *out_pure_max = pure_max;
     // max-node list in first-occurrence order; counts are decremented in
     // the live table (the reference never restores them — consensus.c:
     // 156-164, 199-222 — so the walk sees maxFreq-1 for listed nodes).
@@ -752,7 +763,8 @@ void mtr_dbg_walk_batch(const int32_t* const* orgs, const int64_t* input_lens,
                 &fwd_found[i], &fwd_period[i],
                 fwd_units + i * MAX_PERIOD, fwd_scores + i * MAX_PERIOD,
                 &bwd_found[i], &bwd_period[i],
-                bwd_units + i * MAX_PERIOD, bwd_scores + i * MAX_PERIOD);
+                bwd_units + i * MAX_PERIOD, bwd_scores + i * MAX_PERIOD,
+                nullptr);
         }
     };
     if (n_threads <= 1 || n < 2) { work(0); return; }
@@ -778,33 +790,83 @@ int64_t mtr_dbg_walk_batch2(const int32_t* const* org_table, const int64_t* len_
                             int64_t cap, int n_threads) {
     if (n_threads < 1) n_threads = std::max(1u, std::thread::hardware_concurrency());
     std::atomic<int64_t> next_row(0);
+    // Ascending-k early-out.  Callers emit each range's k sweep as a
+    // consecutive ascending run (pipeline._collect_queries).  The pure
+    // k-mer max P is non-increasing in k (every k-mer occurrence
+    // contains its (k-1)-prefix), and the raw-base tail of length
+    // t(k) = qe - min(qe, L-k+1) + 1 can raise any value's count by at
+    // most t (an A^(k-1)X k-mer colliding with a raw base <= 3).  A
+    // walk happens only when max_freq > MIN_NUM_FREQ_UNIT, so once
+    // P + t(k) <= MIN_NUM_FREQ_UNIT every remaining larger k of the
+    // run is provably unwalked: emit found=0 without building its
+    // table.  Threads claim whole runs (atomic cursor) so the bound
+    // always comes from the same range.
+    std::vector<int64_t> run_start;
+    run_start.reserve((size_t)(n / 4) + 16);
+    for (int64_t i = 0; i < n; i++) {
+        if (i == 0 || read_idx[i] != read_idx[i - 1] ||
+            qss[i] != qss[i - 1] || qes[i] != qes[i - 1] ||
+            ks[i] <= ks[i - 1])
+            run_start.push_back(i);
+    }
+    const int64_t n_runs = (int64_t)run_start.size();
+    std::atomic<int64_t> run_cursor(0);
     auto work = [&](int tid) {
+        (void)tid;
         WalkOut scratch[2];
         int ff, fp, bf, bp;
-        for (int64_t i = tid; i < n; i += n_threads) {
-            found_last[i] = mtr_dbg_walk(
-                org_table[read_idx[i]], len_table[read_idx[i]],
-                qss[i], qes[i], ks[i],
-                &ff, &fp, scratch[0].unit, scratch[0].scores,
-                &bf, &bp, scratch[1].unit, scratch[1].scores);
-            fwd_period[i] = fp;
-            bwd_period[i] = bp;
-            fwd_row[i] = -1;
-            bwd_row[i] = -1;
-            if (ff) {
-                int64_t row = next_row.fetch_add(1, std::memory_order_relaxed);
-                if (row < cap) {
-                    std::memcpy(units_out + row * MAX_PERIOD, scratch[0].unit, fp * 4);
-                    std::memcpy(scores_out + row * MAX_PERIOD, scratch[0].scores, fp * 4);
-                    fwd_row[i] = (int32_t)row;
+        for (;;) {
+            int64_t r = run_cursor.fetch_add(1, std::memory_order_relaxed);
+            if (r >= n_runs) break;
+            const int64_t lo = run_start[r];
+            const int64_t hi = (r + 1 < n_runs) ? run_start[r + 1] : n;
+            const int64_t L = len_table[read_idx[lo]];
+            int64_t bound = INT64_MAX;  // pure k-mer max of this run
+            for (int64_t i = lo; i < hi; i++) {
+                int64_t tail =
+                    qes[i] - std::min<int64_t>(qes[i], L - ks[i] + 1) + 1;
+                if (bound != INT64_MAX &&
+                    bound + tail <= MIN_NUM_FREQ_UNIT) {
+                    found_last[i] = 0;
+                    fwd_period[i] = 0;
+                    bwd_period[i] = 0;
+                    fwd_row[i] = -1;
+                    bwd_row[i] = -1;
+                    continue;
                 }
-            }
-            if (bf) {
-                int64_t row = next_row.fetch_add(1, std::memory_order_relaxed);
-                if (row < cap) {
-                    std::memcpy(units_out + row * MAX_PERIOD, scratch[1].unit, bp * 4);
-                    std::memcpy(scores_out + row * MAX_PERIOD, scratch[1].scores, bp * 4);
-                    bwd_row[i] = (int32_t)row;
+                int64_t pure_max = 0;
+                found_last[i] = mtr_dbg_walk(
+                    org_table[read_idx[i]], L,
+                    qss[i], qes[i], ks[i],
+                    &ff, &fp, scratch[0].unit, scratch[0].scores,
+                    &bf, &bp, scratch[1].unit, scratch[1].scores,
+                    &pure_max);
+                if (pure_max < bound) bound = pure_max;
+                fwd_period[i] = fp;
+                bwd_period[i] = bp;
+                fwd_row[i] = -1;
+                bwd_row[i] = -1;
+                if (ff) {
+                    int64_t row =
+                        next_row.fetch_add(1, std::memory_order_relaxed);
+                    if (row < cap) {
+                        std::memcpy(units_out + row * MAX_PERIOD,
+                                    scratch[0].unit, fp * 4);
+                        std::memcpy(scores_out + row * MAX_PERIOD,
+                                    scratch[0].scores, fp * 4);
+                        fwd_row[i] = (int32_t)row;
+                    }
+                }
+                if (bf) {
+                    int64_t row =
+                        next_row.fetch_add(1, std::memory_order_relaxed);
+                    if (row < cap) {
+                        std::memcpy(units_out + row * MAX_PERIOD,
+                                    scratch[1].unit, bp * 4);
+                        std::memcpy(scores_out + row * MAX_PERIOD,
+                                    scratch[1].scores, bp * 4);
+                        bwd_row[i] = (int32_t)row;
+                    }
                 }
             }
         }
