@@ -453,6 +453,35 @@ class WrapDPBatcher:
                     arr.copy_to_host_async()
                 except AttributeError:
                     pass
+        # single-pull: the axon proxy serializes blocking pulls at a
+        # full roundtrip each (measured 30-360 ms/chunk, ~1.8 s per
+        # north-star batch for ~6 MB of results), so 2-D counts
+        # payloads concatenate ON DEVICE and cross the link once;
+        # chunk shapes are quantized, so the concat trace cache stays
+        # small
+        flat2d = [
+            (i, item[2][0]) for i, item in enumerate(pending)
+            if item[1] == "counts" and getattr(item[2][0], "ndim", 0) == 2
+        ]
+        if len(flat2d) > 1 and not _cpu_backend():
+            import jax.numpy as jnp
+
+            by_w: dict[int, list] = defaultdict(list)
+            for i, a in flat2d:
+                by_w[a.shape[1]].append((i, a))
+            for group in by_w.values():
+                if len(group) < 2:
+                    continue
+                with TIMERS.section("dp_wait"):
+                    big = np.asarray(
+                        jnp.concatenate([a for _, a in group], axis=0))
+                off = 0
+                for i, a in group:
+                    rows = a.shape[0]
+                    it = pending[i]
+                    pending[i] = (it[0], it[1], (big[off:off + rows],),
+                                  it[3], it[4])
+                    off += rows
         for item in pending:
             self._collect_chunk(jobs, *item)
 

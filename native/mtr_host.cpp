@@ -508,6 +508,67 @@ struct WalkOut {
     int32_t scores[MAX_PERIOD];
 };
 
+// Successor memo for the greedy walk.  In the l >= 10 regime the step
+// (node -> next node, freq(node)) is a pure function of the CountTable
+// state — which is frozen during a query's walk phase — so the up-to-
+// 100 start-node walks share one memo instead of re-running the
+// k-level tie-tree lookahead (4^m candidate probes on zero-count
+// frontiers) every time their paths converge.  Epoch-stamped like
+// CountTable; fixed capacity with an insert cap (overflow falls back
+// to direct evaluation, never wrong, never rehashes).
+struct SuccCache {
+    static constexpr size_t CAP = 1 << 17;
+    std::vector<uint64_t> keystamp;  // node (low 32) | stamp (high 32)
+    std::vector<uint64_t> val;       // next (high 32) | freq (low 32)
+    uint32_t epoch = 0;
+    size_t used = 0;
+
+    void reset() {
+        if (keystamp.empty()) {
+            keystamp.assign(CAP, 0);
+            val.assign(CAP, 0);
+        }
+        used = 0;
+        if (++epoch == 0) {
+            std::fill(keystamp.begin(), keystamp.end(), 0ull);
+            epoch = 1;
+        }
+    }
+
+    static inline size_t slot(int64_t node) {
+        return (size_t)(((uint64_t)node * 0x9E3779B97F4A7C15ull) &
+                        (CAP - 1));
+    }
+
+    inline bool get(int64_t node, uint64_t* out) const {
+        size_t s = slot(node);
+        const uint64_t want = ((uint64_t)epoch << 32) | (uint32_t)node;
+        for (;;) {
+            uint64_t ks = keystamp[s];
+            if ((uint32_t)(ks >> 32) != epoch) return false;
+            if (ks == want) { *out = val[s]; return true; }
+            s = (s + 1) & (CAP - 1);
+        }
+    }
+
+    inline void put(int64_t node, uint64_t v) {
+        if (used > CAP / 2) return;  // cap load factor; stay correct
+        size_t s = slot(node);
+        const uint64_t want = ((uint64_t)epoch << 32) | (uint32_t)node;
+        for (;;) {
+            uint64_t ks = keystamp[s];
+            if ((uint32_t)(ks >> 32) != epoch) {
+                keystamp[s] = want;
+                val[s] = v;
+                used++;
+                return;
+            }
+            if (ks == want) { val[s] = v; return; }
+            s = (s + 1) & (CAP - 1);
+        }
+    }
+};
+
 // Shared lookahead (oracle _lookahead_step).  Returns chosen digits and
 // C's post-loop value of m.
 static void lookahead(const CountTable& t, int64_t node, int k, bool forward,
@@ -552,18 +613,35 @@ static void lookahead(const CountTable& t, int64_t node, int k, bool forward,
 }
 
 static void walk_forward(const CountTable& t, int64_t qs, int64_t qe,
-                         int64_t node0, int k, const int64_t* pow4, WalkOut& o) {
+                         int64_t node0, int k, const int64_t* pow4,
+                         SuccCache& sc, WalkOut& o) {
     int64_t node = node0;
     int actual = 0;
     int64_t lmax = std::min((int64_t)MAX_PERIOD, (qe - qs) / MIN_NUM_FREQ_UNIT);
     int l = 0;
     for (; l < lmax; l++) {
         o.unit[l] = (int32_t)(node / pow4[k - 1]);
-        o.scores[l] = (int32_t)t.freq(node);
-        int max_lookahead = (l < 10) ? 1 : k;
-        int64_t digits; int m;
-        lookahead(t, node, k, true, max_lookahead, pow4, &digits, &m);
-        node = 4 * (node % pow4[k - 1]) + digits / pow4[m - 1];
+        if (l < 10) {  // lookahead-1 regime: cheap, not memoized
+            o.scores[l] = (int32_t)t.freq(node);
+            int64_t digits; int m;
+            lookahead(t, node, k, true, 1, pow4, &digits, &m);
+            node = 4 * (node % pow4[k - 1]) + digits / pow4[m - 1];
+        } else {
+            uint64_t packed;
+            if (sc.get(node, &packed)) {
+                o.scores[l] = (int32_t)(uint32_t)packed;
+                node = (int64_t)(packed >> 32);
+            } else {
+                int32_t f = (int32_t)t.freq(node);
+                int64_t digits; int m;
+                lookahead(t, node, k, true, k, pow4, &digits, &m);
+                int64_t nxt =
+                    4 * (node % pow4[k - 1]) + digits / pow4[m - 1];
+                sc.put(node, ((uint64_t)nxt << 32) | (uint32_t)f);
+                o.scores[l] = f;
+                node = nxt;
+            }
+        }
         if (node == node0) {
             actual = l + 1;
             if (actual >= MAX_PERIOD) actual = 0;
@@ -575,15 +653,28 @@ static void walk_forward(const CountTable& t, int64_t qs, int64_t qe,
 }
 
 static void walk_backward(const CountTable& t, int64_t qs, int64_t qe,
-                          int64_t node0, int k, const int64_t* pow4, WalkOut& o) {
+                          int64_t node0, int k, const int64_t* pow4,
+                          SuccCache& sc, WalkOut& o) {
     int64_t node = node0;
     int actual = 0;
     int64_t lmax = std::min((int64_t)MAX_PERIOD, (qe - qs) / MIN_NUM_FREQ_UNIT);
     for (int l = 0; l < lmax; l++) {
-        int max_lookahead = (l < 10) ? 1 : k;
-        int64_t digits; int m;
-        lookahead(t, node, k, false, max_lookahead, pow4, &digits, &m);
-        node = (digits % 4) * pow4[k - 1] + node / 4;
+        int64_t prev = node;
+        if (l < 10) {
+            int64_t digits; int m;
+            lookahead(t, node, k, false, 1, pow4, &digits, &m);
+            node = (digits % 4) * pow4[k - 1] + node / 4;
+        } else {
+            uint64_t packed;
+            if (sc.get(prev, &packed)) {
+                node = (int64_t)(packed >> 32);
+            } else {
+                int64_t digits; int m;
+                lookahead(t, node, k, false, k, pow4, &digits, &m);
+                node = (digits % 4) * pow4[k - 1] + node / 4;
+                sc.put(prev, ((uint64_t)node << 32));
+            }
+        }
         o.unit[l] = (int32_t)(node / pow4[k - 1]);
         o.scores[l] = (int32_t)t.freq(node);
         if (node == node0) {
@@ -710,11 +801,16 @@ int mtr_dbg_walk(const int32_t* org, int64_t input_len, int64_t qs, int64_t qe,
     int found = 0;
     if (max_freq > MIN_NUM_FREQ_UNIT) {
         WalkOut o;
+        static thread_local SuccCache succ_f, succ_b;
+        succ_f.reset();
+        succ_b.reset();
         for (int dir = 0; dir < 2; dir++) {
             for (int64_t node : max_nodes) {
                 o.found = 0; o.period = 0;
-                if (dir == 0) walk_forward(t, qs, qe, node, k, pow4, o);
-                else          walk_backward(t, qs, qe, node, k, pow4, o);
+                if (dir == 0) walk_forward(t, qs, qe, node, k, pow4,
+                                           succ_f, o);
+                else          walk_backward(t, qs, qe, node, k, pow4,
+                                            succ_b, o);
                 found = o.found;
                 if (o.period >= MAX_PERIOD) found = 0;
                 if (found == 1) {
