@@ -1241,11 +1241,49 @@ def walk_batch(states: list[ReadState], cfg: MTRConfig, pos_sel=None):
                 ridx_a, qs_a, qe_a, k_a,
             )
         else:
-            res = native.dbg_walk_batch2(
-                [st.org for st in states],
-                [st.read.length for st in states],
-                ridx_a, qs_a, qe_a, k_a,
-            )
+            orgs = [st.org for st in states]
+            lens = [st.read.length for st in states]
+            sub = None
+            if (cfg.backend == "hybrid" and n_q >= 32768
+                    and not _cpu_backend()
+                    and _env_flag("MTR_TPU_MF_FILTER")):
+                # device pre-filter: the walk gate max_freq >
+                # MIN_NUM_FREQ_UNIT is pure dense counting — one TPU
+                # dispatch per V-bucket classifies every query exactly,
+                # so the host builds tables only for queries that walk
+                # (ops/mf_filter.py; gate: consensus.c:532).  OPT-IN:
+                # measured 2.7 us/query through the tunneled runtime
+                # (per-query segment gathers + chunk roundtrips) vs
+                # ~0.5 us/query for the host build WITH the ascending-k
+                # early-out — the device filter pays only when host
+                # cores are scarcer relative to the chip than this
+                # 2-core box (PERF.md round 5)
+                try:
+                    from mtr_tpu.ops.mf_filter import walked_mask
+
+                    sub = np.nonzero(walked_mask(
+                        orgs, lens, ridx_a, qs_a, qe_a, k_a))[0]
+                except Exception:
+                    sub = None  # any device hiccup: full native path
+            if sub is not None and len(sub) < n_q:
+                r = native.dbg_walk_batch2(
+                    orgs, lens, ridx_a[sub], qs_a[sub], qe_a[sub],
+                    k_a[sub])
+                res = {
+                    "fwd_row": np.full(n_q, -1, np.int32),
+                    "bwd_row": np.full(n_q, -1, np.int32),
+                    "fwd_period": np.zeros(n_q, np.int32),
+                    "bwd_period": np.zeros(n_q, np.int32),
+                    "found_last": np.zeros(n_q, np.int32),
+                    "units": r["units"],
+                    "scores": r["scores"],
+                }
+                for key in ("fwd_row", "bwd_row", "fwd_period",
+                            "bwd_period", "found_last"):
+                    res[key][sub] = r[key][: len(sub)]
+            else:
+                res = native.dbg_walk_batch2(
+                    orgs, lens, ridx_a, qs_a, qe_a, k_a)
         frow, brow = res["fwd_row"], res["bwd_row"]
         units_rows, scores_rows = res["units"], res["scores"]
         unit_cache: dict = {}  # unit bytes -> (string, freq_2mer)

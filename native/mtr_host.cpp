@@ -251,12 +251,26 @@ void mtr_fill_di(int32_t* buf, int64_t l4_cap /* reference's array size:
         const int k = ks[ki];
         const int64_t max_w = (k == 1) ? 20 : (k == 3) ? 80 : 10240;
         // --- init_input_w_rand (fill_directional_index.c:137-169) ---
-        std::mt19937 mt(0);
+        // The reference reseeds MT19937(0) per (read, k) pass, so every
+        // pass consumes a PREFIX of one fixed stream: cache the stream
+        // once (grown on demand) instead of re-drawing ~600k values
+        // three times per read.
         const int64_t l4 = std::min(L + 4 * rsl, l4_cap);
-        for (int64_t i = 0; i < l4; i++) buf[i] = (int32_t)(mt() & 3u);
-        for (int64_t i = 0; i < rsl; i++) buf[i] = (int32_t)(mt() & 3u);
+        static thread_local std::vector<int32_t> mt_stream;
+        const int64_t need = l4 + 2 * rsl;
+        if ((int64_t)mt_stream.size() < need) {
+            std::mt19937 mt(0);
+            mt_stream.resize(need);
+            for (int64_t i = 0; i < need; i++)
+                mt_stream[i] = (int32_t)(mt() & 3u);
+        }
+        // draws l4..l4+rsl overwrite the prefix; draws l4+rsl.. fill the
+        // post-read flank — identical consumption order to the reference
+        std::memcpy(buf, mt_stream.data(), (size_t)l4 * 4);
+        std::memcpy(buf, mt_stream.data() + l4, (size_t)rsl * 4);
         std::memcpy(buf + rsl, org, (size_t)L * 4);
-        for (int64_t i = 0; i < rsl; i++) buf[rsl + L + i] = (int32_t)(mt() & 3u);
+        std::memcpy(buf + rsl + L, mt_stream.data() + l4 + rsl,
+                    (size_t)rsl * 4);
         // in-place rolling k-mer codes over [0, L+2rsl-k+1); reads of
         // buf[i+k-1] always precede the write at i (i+k-1 >= i)
         const int64_t n_codes = L + 2 * rsl - k + 1;
