@@ -1630,10 +1630,17 @@ def run_file(
     read_meta: optional callable(ridx, n_records) invoked per emitted
     read (the multi-host merge needs per-read record counts).
     """
+    import gc
     import sys
 
     if out is None:
         out = sys.stdout
+    # the pipeline allocates millions of small acyclic records per
+    # batch; default generation-0 thresholds trigger thousands of
+    # collections per file (each also running XLA's gc callback —
+    # ~1.5 s profiled on the north-star set).  Widen while running.
+    _gc_thresh = gc.get_threshold()
+    gc.set_threshold(200_000, 50, 50)
     if cfg.print_computation_time:
         from mtr_tpu import native
 
@@ -1746,34 +1753,37 @@ def run_file(
     min_rsl = 100
     own = 0
     batch_bases = 0
-    for ridx, read in enumerate(iter_fasta(path, cfg.max_input_length)):
-        arena.load_read(read.codes)  # keep arena reuse semantics even when skipping
-        if read_filter is not None and not read_filter(ridx):
-            continue
-        own += 1
-        if own <= skip:
-            continue
-        L = read.length
-        org_eff = arena.org_input[: L + 1].copy()
-        rsl = min_rsl if L < min_rsl * 10 else L // 10
-        di_compute = None
-        if cfg.backend == "device" and L >= cfg.device_di_threshold:
-            # hybrid deliberately keeps DI on host: the sweep is many
-            # small (k, w) dispatches whose per-call proxy roundtrips
-            # cost far more than the 2-core host pass (measured 40x
-            # slower through a tunneled runtime)
-            di_compute = _device_di_compute(cfg)
-        with TIMERS.section("range"):
-            di, di_end, di_w = fill_directional_index_with_end(
-                arena, L, rsl, manhattan=cfg.manhattan_distance,
-                di_compute=di_compute, use_native=cfg.use_native,
-            )
-        batch.append(ReadState(read, org_eff, di, di_end, di_w, ridx))
-        batch_bases += L
-        if (len(batch) >= cfg.reads_per_batch
-                or batch_bases >= cfg.bases_per_batch):
-            flush()
-            batch_bases = 0
-    flush()
-    promote_a()
-    drain_b()
+    try:
+        for ridx, read in enumerate(iter_fasta(path, cfg.max_input_length)):
+          arena.load_read(read.codes)  # keep arena reuse semantics even when skipping
+          if read_filter is not None and not read_filter(ridx):
+              continue
+          own += 1
+          if own <= skip:
+              continue
+          L = read.length
+          org_eff = arena.org_input[: L + 1].copy()
+          rsl = min_rsl if L < min_rsl * 10 else L // 10
+          di_compute = None
+          if cfg.backend == "device" and L >= cfg.device_di_threshold:
+              # hybrid deliberately keeps DI on host: the sweep is many
+              # small (k, w) dispatches whose per-call proxy roundtrips
+              # cost far more than the 2-core host pass (measured 40x
+              # slower through a tunneled runtime)
+              di_compute = _device_di_compute(cfg)
+          with TIMERS.section("range"):
+              di, di_end, di_w = fill_directional_index_with_end(
+                  arena, L, rsl, manhattan=cfg.manhattan_distance,
+                  di_compute=di_compute, use_native=cfg.use_native,
+              )
+          batch.append(ReadState(read, org_eff, di, di_end, di_w, ridx))
+          batch_bases += L
+          if (len(batch) >= cfg.reads_per_batch
+                  or batch_bases >= cfg.bases_per_batch):
+              flush()
+              batch_bases = 0
+        flush()
+        promote_a()
+        drain_b()
+    finally:
+        gc.set_threshold(*_gc_thresh)
