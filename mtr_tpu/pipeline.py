@@ -863,8 +863,11 @@ class HybridDPBatcher:
             _os.environ.get("MTR_TPU_DEVICE_BUDGET_S", "900"))
 
     def begin_batch(self, orgs: list[np.ndarray]) -> None:
-        if self.device_ok:
-            self.device.begin_batch(orgs)
+        # DEFERRED: the flat upload only happens once a device-bound
+        # job set materializes, and then on the device thread — on
+        # short-read workloads whose jobs all stay under the floor the
+        # upload would be a pure tax on the critical path
+        self._batch_orgs = orgs if self.device_ok else None
 
     def run(self, jobs: list[DPJob], deduped: bool = False) -> None:
         import threading
@@ -881,14 +884,14 @@ class HybridDPBatcher:
         counts_cells = [c for c in cells if c >= 0]
         if self.device_ok and counts_cells and max(counts_cells) < thr:
             # small-job workloads (e.g. 3 kb reads: biggest jobs ~100 k
-            # cells) would otherwise never touch the device.  Measured
-            # sweeps on the 100x10 set (real chip, interleaved A/B):
-            # floors 4 k/8 k/16 k all beat the host engine by 13-18%
-            # in-session (4 k best: 1.554 s vs host 1.894 s); at 0 the
-            # per-job padding/dispatch overhead exceeds the host's
-            # scalar fill.  Bit-exact either way — the split is pure
-            # scheduling.
-            thr = max(thr >> 6, 1 << 12)
+            # cells) would otherwise never touch the device.  Round-5
+            # re-sweep on the 100x10 set (real chip, warm, interleaved):
+            # 16 k/32 k floors run 0.85-0.93 s vs 0.96-1.01 s at the
+            # round-4 4 k floor and ~0.92 s pure host — the round-5 host
+            # engine (walk memo + early-out) is fast enough that only
+            # the larger jobs amortize a dispatch.  Bit-exact either
+            # way — the split is pure scheduling.
+            thr = max(thr >> 4, 1 << 14)
 
         def to_device(c):
             if c >= 0:
@@ -908,6 +911,10 @@ class HybridDPBatcher:
 
             def dev_run():
                 try:
+                    orgs = getattr(self, "_batch_orgs", None)
+                    if orgs is not None:
+                        self.device.begin_batch(orgs)
+                        self._batch_orgs = None
                     self.device._run(big)
                 except Exception as e:  # handled on the caller thread
                     err.append(e)
