@@ -859,8 +859,15 @@ class HybridDPBatcher:
             _os.environ.get("MTR_TPU_HYBRID_CONS_CELLS", str(1 << 62)))
         self.device_ok = True
         self._first_done = False
+        self.dev_idle_s = 0.0
         self.budget_s = float(
             _os.environ.get("MTR_TPU_DEVICE_BUDGET_S", "900"))
+
+    def pop_dev_idle(self) -> float:
+        """Host-idle-waiting-on-device seconds since the last call."""
+        v = self.dev_idle_s
+        self.dev_idle_s = 0.0
+        return v
 
     def begin_batch(self, orgs: list[np.ndarray]) -> None:
         # DEFERRED: the flat upload only happens once a device-bound
@@ -922,8 +929,13 @@ class HybridDPBatcher:
             t = threading.Thread(target=dev_run)
             t.start()
             self.host._run(small)
+            _t_host_done = time.time()
             t.join(None if self._first_done else self.budget_s)
             over_budget = t.is_alive()
+            if not over_budget:
+                # host-idle time spent waiting on the device leg: the
+                # adaptive wave policy compares it to walk wall time
+                self.dev_idle_s += time.time() - _t_host_done
             if over_budget:
                 # the dispatch thread cannot be cancelled; ABANDON it (a
                 # late completion writes bit-identical results, so the
@@ -1145,7 +1157,31 @@ def _live_positions(st) -> np.ndarray:
     return np.nonzero((st.di_end > -1) & (st.di_end < L))[0]
 
 
-def wave1_positions(states, cfg=None):
+def waves_enabled(force=None) -> bool:
+    """Wave-pruning switch: MTR_TPU_WAVES=1 forces on, MTR_TPU_NO_WAVES
+    forces off; otherwise `force` (the adaptive policy's verdict)
+    decides, defaulting to off."""
+    if _env_flag("MTR_TPU_NO_WAVES"):
+        return False
+    if _env_flag("MTR_TPU_WAVES"):
+        return True
+    return bool(force)
+
+
+def waves_policy(walk_s: float | None, dev_idle_s: float | None) -> bool:
+    """Adaptive wave pruning (VERDICT r4 #6): full speculation hides
+    ALL walk work behind the device leg, so pruning only pays when the
+    walk queue is the scarce resource — i.e. the previous batch spent
+    clearly more wall time walking than it spent idle-waiting on the
+    device.  Measured on the 2-core box the device wait dominates and
+    waves lose ~3-8% (PERF.md round 4); on many-core hosts feeding one
+    chip the inequality flips."""
+    if walk_s is None or dev_idle_s is None:
+        return False
+    return walk_s > 2.0 * dev_idle_s + 0.2
+
+
+def wave1_positions(states, cfg=None, force=None):
     """Wave-1 selection for suppression pruning: the positions that NO
     earlier range can ever suppress.  A range q < p can only suppress p
     when its accepted repeat reaches past p's end (rep_end > qe_p with
@@ -1160,8 +1196,7 @@ def wave1_positions(states, cfg=None):
     right trade when walk CPU is the scarce resource (e.g. many-core
     hosts feeding one chip, or host-only runs at parity)."""
     sel = []
-    waves = _env_flag("MTR_TPU_WAVES") and not _env_flag(
-        "MTR_TPU_NO_WAVES")
+    waves = waves_enabled(force)
     for st in states:
         pos = _live_positions(st)
         if not waves or not len(pos):
@@ -1735,11 +1770,19 @@ def run_file(
         t2.start()
         pending_b = (t2, states, hb)
 
+    # adaptive wave pruning: decided per batch from the PREVIOUS
+    # batch's measured walk wall time vs host-idle-on-device wait
+    # (waves_policy); env vars force either way, output is identical
+    adapt = {"walk_s": None, "on": False}
+
     def flush():
         nonlocal batch, pending_a
         if not batch:
             return
         promote_a()
+        pop_idle = getattr(batcher, "pop_dev_idle", None)
+        if pop_idle is not None:
+            adapt["on"] = waves_policy(adapt["walk_s"], pop_idle())
         states = batch
         batch = []
         ha: dict = {}
@@ -1748,8 +1791,11 @@ def run_file(
             try:
                 # pre-walk only wave 1: later waves depend on acceptance
                 # replay, so process_batch computes them itself
-                ha["pos_sel"] = wave1_positions(states, cfg)
+                ha["pos_sel"] = wave1_positions(
+                    states, cfg, force=adapt["on"])
+                _t0 = time.time()
                 ha["queries"] = walk_batch(states, cfg, ha["pos_sel"])
+                adapt["walk_s"] = time.time() - _t0
             except Exception as e:  # pragma: no cover - failure isolation
                 ha["error"] = e
 
