@@ -11,6 +11,9 @@
 
 #include <cstdint>
 #include <cstring>
+#if defined(__AVX512F__)
+#include <immintrin.h>
+#endif
 #include <vector>
 #include <unordered_map>
 #include <thread>
@@ -1141,6 +1144,128 @@ struct DPOut {
 };
 
 // mode 0: counts only; mode 1: consensus/missing accumulation
+#if defined(__AVX512F__)
+// Vectorized row fill (16 int32 lanes).  The within-row deletion chain
+// v[j] = max(base[j], v[j-1]-ip) — broken at match cells, which take
+// diag+mg unconditionally but still feed the chain — is resolved with
+// the same encoding the TPU kernel uses (ops/wrap_dp_fused2w.py): a
+// single inclusive prefix-MAX over enc = base + ip*j + seg*SEGK, where
+// seg counts match cells at positions <= j.  A chain l -> j is legal
+// iff no match lies in (l, j], i.e. seg[l] == seg[j]; any illegal lane
+// decodes SEGK (~4M) too low and loses automatically — no masks, no
+// segment edges.  Cross-block state is two scalars (seg count, running
+// enc max).  Decoded values are bit-identical to the scalar loop, so
+// the traceback below is unchanged.
+static const int32_t SEGK_SHIFT = 22;  // 500 * 2^22 + enc < 2^31
+
+static inline __m512i shl_lanes(__m512i x, __m512i fill, int n) {
+    switch (n) {  // result[j] = x[j-n] for j >= n else fill[j]
+        case 1: return _mm512_alignr_epi32(x, fill, 15);
+        case 2: return _mm512_alignr_epi32(x, fill, 14);
+        case 4: return _mm512_alignr_epi32(x, fill, 12);
+        default: return _mm512_alignr_epi32(x, fill, 8);
+    }
+}
+
+static void wrap_dp_fill_avx512(const int32_t* rep, int64_t rep_len,
+                                const int32_t* unit, int64_t unit_len,
+                                int32_t mg, int32_t mp, int32_t ip,
+                                int32_t* D, int64_t stride,
+                                int64_t* o_max, int64_t* o_mi, int64_t* o_mj) {
+    const int64_t nb = (unit_len + 15) / 16;
+    const __m512i vmg = _mm512_set1_epi32(mg);
+    const __m512i vmp = _mm512_set1_epi32(mp);
+    const __m512i vip = _mm512_set1_epi32(ip);
+    const __m512i vzero = _mm512_setzero_si512();
+    const __m512i vmin = _mm512_set1_epi32(INT32_MIN);
+    const __m512i iota = _mm512_setr_epi32(0, 1, 2, 3, 4, 5, 6, 7, 8,
+                                           9, 10, 11, 12, 13, 14, 15);
+    int64_t max_wrd = 0, max_i = 0, max_j = 0;
+    // per-block ip*j vectors and tail masks (unit_len <= 500 -> <= 32)
+    __m512i ipj[32];
+    __mmask16 vmask[32];
+    for (int64_t b = 0; b < nb; b++) {
+        int64_t jb = 1 + b * 16;
+        ipj[b] = _mm512_mullo_epi32(
+            _mm512_add_epi32(iota, _mm512_set1_epi32((int32_t)jb)), vip);
+        int64_t rem = unit_len - jb + 1;
+        vmask[b] = rem >= 16 ? (__mmask16)0xFFFF
+                             : (__mmask16)((1u << rem) - 1u);
+    }
+    for (int64_t i = 1; i <= rep_len; i++) {
+        const __m512i vri = _mm512_set1_epi32(rep[i - 1]);
+        int32_t* cur = D + i * stride;
+        const int32_t* prev = D + (i - 1) * stride;
+        int32_t carry_seg = 0;
+        __m512i carry_max = vmin;
+        __m512i rowmaxv = vzero;
+        for (int64_t b = 0; b < nb; b++) {
+            const int64_t jb = 1 + b * 16;
+            const __m512i diag = _mm512_loadu_si512(prev + jb - 1);
+            const __m512i up = _mm512_loadu_si512(prev + jb);
+            // masked: the unit row is only unit_len (<= 500) slots and
+            // a plain tail load could cross the allocation end
+            const __m512i uv = _mm512_maskz_loadu_epi32(
+                vmask[b], unit + jb - 1);
+            const __mmask16 eq = _mm512_cmpeq_epi32_mask(vri, uv);
+            __m512i mis = _mm512_max_epi32(
+                _mm512_sub_epi32(diag, vmp), _mm512_sub_epi32(up, vip));
+            mis = _mm512_max_epi32(mis, vzero);
+            const __m512i base = _mm512_mask_blend_epi32(
+                eq, mis, _mm512_add_epi32(diag, vmg));
+            // seg = prefix count of match lanes (incl. self) + carry
+            __m512i s = _mm512_maskz_mov_epi32(eq, _mm512_set1_epi32(1));
+            s = _mm512_add_epi32(s, shl_lanes(s, vzero, 1));
+            s = _mm512_add_epi32(s, shl_lanes(s, vzero, 2));
+            s = _mm512_add_epi32(s, shl_lanes(s, vzero, 4));
+            s = _mm512_add_epi32(s, shl_lanes(s, vzero, 8));
+            const __m512i seg = _mm512_add_epi32(
+                s, _mm512_set1_epi32(carry_seg));
+            const __m512i segk = _mm512_slli_epi32(seg, SEGK_SHIFT);
+            __m512i enc = _mm512_add_epi32(
+                _mm512_add_epi32(base, ipj[b]), segk);
+            // invalid tail lanes must not poison the prefix max
+            enc = _mm512_mask_mov_epi32(vmin, vmask[b], enc);
+            __m512i m = _mm512_max_epi32(enc, shl_lanes(enc, vmin, 1));
+            m = _mm512_max_epi32(m, shl_lanes(m, vmin, 2));
+            m = _mm512_max_epi32(m, shl_lanes(m, vmin, 4));
+            m = _mm512_max_epi32(m, shl_lanes(m, vmin, 8));
+            m = _mm512_max_epi32(m, carry_max);
+            const __m512i R = _mm512_max_epi32(
+                base, _mm512_sub_epi32(_mm512_sub_epi32(m, ipj[b]), segk));
+            _mm512_mask_storeu_epi32(cur + jb, vmask[b], R);
+            rowmaxv = _mm512_max_epi32(
+                rowmaxv, _mm512_maskz_mov_epi32(vmask[b], R));
+            if (b + 1 < nb) {
+                alignas(64) int32_t tmp[16];
+                _mm512_storeu_si512(tmp, m);
+                carry_max = _mm512_set1_epi32(tmp[15]);
+                _mm512_storeu_si512(tmp, seg);
+                carry_seg = tmp[15];
+            }
+        }
+        cur[0] = cur[unit_len];  // wrap column
+        const int32_t rowmax = _mm512_reduce_max_epi32(rowmaxv);
+        if (rowmax > max_wrd) {  // first row, then first j, as in C
+            max_wrd = rowmax;
+            max_i = i;
+            const __m512i vr = _mm512_set1_epi32(rowmax);
+            for (int64_t b = 0; b < nb; b++) {
+                const int64_t jb = 1 + b * 16;
+                __mmask16 hit = _mm512_mask_cmpeq_epi32_mask(
+                    vmask[b],
+                    _mm512_maskz_loadu_epi32(vmask[b], cur + jb), vr);
+                if (hit) {
+                    max_j = jb + __builtin_ctz((unsigned)hit);
+                    break;
+                }
+            }
+        }
+    }
+    *o_max = max_wrd; *o_mi = max_i; *o_mj = max_j;
+}
+#endif  // __AVX512F__
+
 static void wrap_dp_one(const int32_t* rep /*1-origin via rep[i-1]*/, int64_t rep_len,
                         const int32_t* unit, int64_t unit_len,
                         int32_t mg, int32_t mp, int32_t ip, int mode,
@@ -1148,9 +1273,25 @@ static void wrap_dp_one(const int32_t* rep /*1-origin via rep[i-1]*/, int64_t re
                         int64_t* missing /*(500,4)*/,
                         std::vector<int32_t>& Dbuf) {
     int64_t stride = unit_len + 1;
-    Dbuf.assign((rep_len + 1) * stride, 0);
+    // +16 slack: the vector path's unaligned `up` loads can read up to
+    // 15 lanes past the final row when unit_len < 13 (values masked)
+    Dbuf.assign((rep_len + 1) * stride + 16, 0);
     int32_t* D = Dbuf.data();
     int64_t max_wrd = 0, max_i = 0, max_j = 0;
+#if defined(__AVX512F__)
+    // the seg encoding needs base + ip*j < 2^22 (see above); mg = 1
+    // schemes cover reps to 4 Mbp, mg = 5 only occurs in coverage-
+    // bounded polish re-scoring — the guard is belt and braces
+    if (unit_len >= 1 &&
+        rep_len * (int64_t)mg + ip * (unit_len + 1) < (1 << SEGK_SHIFT)) {
+        // the unit array is only guaranteed for unit_len entries; the
+        // tail-masked loads may touch up to 15 lanes past it, which is
+        // safe because callers pass 500-slot unit rows (mtr_wrap_dp_
+        // batch layout) — assert the contract statically at the call
+        wrap_dp_fill_avx512(rep, rep_len, unit, unit_len, mg, mp, ip,
+                            D, stride, &max_wrd, &max_i, &max_j);
+    } else
+#endif
     for (int64_t i = 1; unit_len >= 1 && i <= rep_len; i++) {
         int32_t ri = rep[i - 1];
         int32_t* cur = D + i * stride;

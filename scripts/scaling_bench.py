@@ -85,10 +85,15 @@ def run_dp_sharded(n: int, total_b: int = 2048) -> dict:
     (Pallas interpret-mode timing would be meaningless).
 
     Returns wall time of the sharded dispatch AND the per-device compute
-    time measured WITHOUT core time-sharing: one device executing one
-    local shard (total_b/n jobs).  On a 2-core host the n>=4 sharded
-    walls are core-limited by construction; the shard row is the
-    transferable per-chip number."""
+    time for one local shard (total_b/n jobs), the latter measured in a
+    SEPARATE single-device process: under
+    xla_force_host_platform_device_count=n XLA:CPU divides the host's
+    intra-op threadpool across the n virtual devices, so timing "one
+    device while the others idle" inside the n-device process slows
+    with n — a host artifact a real chip does not have (each chip owns
+    its compute).  On a 2-core host the n>=4 sharded walls are
+    core-limited by construction; the shard row is the transferable
+    per-chip number."""
     code = (
         "import os, time, json, numpy as np\n"
         "os.environ['JAX_PLATFORMS']='cpu'\n"
@@ -120,25 +125,50 @@ def run_dp_sharded(n: int, total_b: int = 2048) -> dict:
         "        t0 = time.time(); np.asarray(f(*a)); ts.append(time.time() - t0)\n"
         "    return min(ts)\n"
         "lb = B // n\n"
-        "inner = make_wrap_dp_counts_xla(lb, 128, r_pad)\n"
-        "t_shard = best_of(inner, inputs(lb))\n"
-        "if n == 1:\n"
-        "    t_wall = t_shard\n"
+        "# the SHIPPING sharded batcher dispatches fixed b_sub-sized\n"
+        "# sub-chunks riding the kernel grid (pipeline.SUB_B), so the\n"
+        "# per-device compiled shape is INDEPENDENT of n; a monolithic\n"
+        "# (B/n)-shaped local kernel (round-4 bench) conflated XLA's\n"
+        "# batch-size-dependent codegen with shard efficiency (the\n"
+        "# 0.676 n=4 dip, VERDICT r4 #7).  Measure what ships.\n"
+        "SUB = 256\n"
+        "assert lb % SUB == 0\n"
+        "sub = make_wrap_dp_counts_xla(SUB, 128, r_pad)\n"
+        "def inner(scal, rep, unit):\n"
+        "    ns = scal.shape[0] // SUB\n"
+        "    args = (scal.reshape(ns, SUB, -1),\n"
+        "            rep.reshape(ns, SUB, -1), unit.reshape(ns, SUB, -1))\n"
+        "    out = jax.lax.map(lambda a: sub(*a), args)\n"
+        "    return out.reshape(ns * SUB, -1)\n"
+        "inner = jax.jit(inner)\n"
+        "if MODE == 'shard':\n"
+        "    t = best_of(inner, inputs(lb))\n"
+        "elif n == 1:\n"
+        "    t = best_of(inner, inputs(B))\n"
         "else:\n"
         "    mesh = make_mesh(n)\n"
         "    fn = jax.jit(shard_map(inner, mesh=mesh,\n"
         "        in_specs=(P('dp'), P('dp'), P('dp')), out_specs=P('dp'),\n"
         "        check_vma=False))\n"
-        "    t_wall = best_of(fn, inputs(B))\n"
-        "print(json.dumps({'t_wall': t_wall, 't_shard': t_shard}))\n"
+        "    t = best_of(fn, inputs(B))\n"
+        "print(json.dumps({'t': t}))\n"
     )
-    env = {**os.environ,
-           "XLA_FLAGS": f"--xla_force_host_platform_device_count={n}"}
-    r = subprocess.run([sys.executable, "-c", code], cwd=REPO, env=env,
-                       capture_output=True, timeout=1200)
-    if r.returncode != 0:
-        raise RuntimeError(r.stderr.decode()[-2000:])
-    return json.loads(r.stdout.splitlines()[-1])
+
+    def run(mode: str):
+        devs = 1 if mode == "shard" else n
+        env = {**os.environ,
+               "XLA_FLAGS":
+               f"--xla_force_host_platform_device_count={devs}"}
+        mcode = code.replace("MODE", repr(mode)).replace(
+            "assert jax.device_count() == n",
+            f"assert jax.device_count() == {devs}")
+        r = subprocess.run([sys.executable, "-c", mcode], cwd=REPO,
+                           env=env, capture_output=True, timeout=1200)
+        if r.returncode != 0:
+            raise RuntimeError(r.stderr.decode()[-2000:])
+        return json.loads(r.stdout.splitlines()[-1])["t"]
+
+    return {"t_wall": run("wall"), "t_shard": run("shard")}
 
 
 def _tpu_available() -> bool:
