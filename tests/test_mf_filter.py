@@ -4,9 +4,19 @@ must be EXACT — a false "unwalked" would change output vs the
 reference (consensus.c:532)."""
 
 import numpy as np
+import pytest
 
+import mtr_tpu.ops.mf_filter as MF
 from mtr_tpu.ops.mf_filter import walked_mask, MIN_NUM_FREQ_UNIT
 from mtr_tpu.oracle.dbg import query_kmer_values
+
+
+@pytest.fixture(autouse=True)
+def small_chunks(monkeypatch):
+    # production chunk rows are sized for the TPU (131k); padding every
+    # CPU test call to that burns ~a minute for nothing
+    monkeypatch.setattr(
+        MF, "_Q_CHUNK", {64: 512, 256: 512, 1024: 512})
 
 
 def oracle_walked(org, L, qs, qe, k):
