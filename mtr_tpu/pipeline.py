@@ -166,6 +166,58 @@ def _put(*arrays):
     return tuple(jax.device_put(a) for a in arrays)
 
 
+@functools.lru_cache(maxsize=64)
+def _resident_inner(kind: str, b_pad: int, u_pad: int, r_pad: int,
+                    factor: int = 0, n_sub: int = 1):
+    """Single-device resident kernel for a chunk shape."""
+    if kind != "consensus" and _os.environ.get("MTR_TPU_XLA_DP"):
+        # pure-XLA counts engine: no Mosaic — survives proxied
+        # runtimes whose Pallas compile service is wedged while
+        # plain XLA still works (bench preflight sets this)
+        from mtr_tpu.ops.wrap_dp_xla import (
+            get_wrap_dp_counts_xla_resident,
+        )
+
+        return get_wrap_dp_counts_xla_resident(b_pad, u_pad, r_pad)
+    from mtr_tpu.ops.wrap_dp_resident import (
+        get_wrap_dp_consensus_resident,
+        get_wrap_dp_fused2_resident,
+        get_wrap_dp_fused2w_resident,
+        get_wrap_dp_fused_resident,
+    )
+
+    if kind == "counts2":
+        return get_wrap_dp_fused2_resident(b_pad, r_pad, n_sub)
+    if kind == "counts2w":
+        return get_wrap_dp_fused2w_resident(b_pad, r_pad, u_pad, n_sub)
+    if kind == "counts":
+        return get_wrap_dp_fused_resident(b_pad, u_pad, r_pad)
+    return get_wrap_dp_consensus_resident(b_pad, u_pad, r_pad, factor)
+
+
+@functools.lru_cache(maxsize=64)
+def _resident_fn_packed(kind: str, b_pad: int, u_pad: int, r_pad: int,
+                        factor: int = 0, n_sub: int = 1):
+    """Packed-argument shim over _resident_inner: unpacks the single
+    (n, 9 + u_pad/4) int32 chunk array on device — col 0 starts, cols
+    1:9 scal, the rest the int8 unit rows bitcast 4-per-word (XLA
+    bitcast-convert orders parts least-significant-first, matching the
+    host's little-endian numpy view)."""
+    import jax
+    import jax.numpy as jnp
+
+    inner = _resident_inner(kind, b_pad, u_pad, r_pad, factor, n_sub)
+
+    def f(flat, packed):
+        starts = packed[:, 0]
+        scal = packed[:, 1:9]
+        units = jax.lax.bitcast_convert_type(
+            packed[:, 9:], jnp.int8).reshape(packed.shape[0], u_pad)
+        return inner(flat, starts, scal, units)
+
+    return jax.jit(f)
+
+
 def dedup_jobs(jobs: list["DPJob"]) -> tuple[list["DPJob"], list[int]]:
     """Many k values discover the SAME unit for the same range, and the
     DP result depends only on (read segment, unit, scheme, mode) — so
@@ -225,29 +277,27 @@ class WrapDPBatcher:
 
             return sharded_resident_fn(
                 self.mesh, kind, b_pad, u_pad, r_pad, factor, n_sub)
-        if kind != "consensus" and _os.environ.get("MTR_TPU_XLA_DP"):
-            # pure-XLA counts engine: no Mosaic — survives proxied
-            # runtimes whose Pallas compile service is wedged while
-            # plain XLA still works (bench preflight sets this)
-            from mtr_tpu.ops.wrap_dp_xla import (
-                get_wrap_dp_counts_xla_resident,
-            )
+        return _resident_inner(kind, b_pad, u_pad, r_pad, factor, n_sub)
 
-            return get_wrap_dp_counts_xla_resident(b_pad, u_pad, r_pad)
-        from mtr_tpu.ops.wrap_dp_resident import (
-            get_wrap_dp_consensus_resident,
-            get_wrap_dp_fused2_resident,
-            get_wrap_dp_fused2w_resident,
-            get_wrap_dp_fused_resident,
-        )
-
-        if kind == "counts2":
-            return get_wrap_dp_fused2_resident(b_pad, r_pad, n_sub)
-        if kind == "counts2w":
-            return get_wrap_dp_fused2w_resident(b_pad, r_pad, u_pad, n_sub)
-        if kind == "counts":
-            return get_wrap_dp_fused_resident(b_pad, u_pad, r_pad)
-        return get_wrap_dp_consensus_resident(b_pad, u_pad, r_pad, factor)
+    def _dispatch_resident(self, kind, b_pad, u_pad, r_pad, starts,
+                           scal, units, factor=0, n_sub=1):
+        """One dispatch of a resident chunk.  The per-chunk inputs ship
+        as ONE packed int32 put and split on device: each device_put
+        costs a full proxy roundtrip (measured 23 ms — three separate
+        puts were ~40% of the device leg's wall), so starts/scal/units
+        ride together.  The sharded (mesh) path keeps the three-array
+        interface."""
+        n = scal.shape[0]
+        if self.mesh is not None:
+            fn = self._fn(kind, b_pad, u_pad, r_pad, factor, n_sub)
+            return fn(self._flat, *_put(starts, scal, units))
+        fn = _resident_fn_packed(kind, b_pad, u_pad, r_pad, factor,
+                                 n_sub)
+        packed = np.empty((n, 9 + u_pad // 4), np.int32)
+        packed[:, 0] = starts[:n]
+        packed[:, 1:9] = scal
+        packed[:, 9:] = units.view(np.int32)
+        return fn(self._flat, *_put(packed))
 
     def begin_batch(self, orgs: list[np.ndarray]) -> None:
         """Upload the batch's read arrays once; counts-mode chunks then
@@ -520,9 +570,10 @@ class WrapDPBatcher:
             units[np.asarray(rows), : len(unit)] = unit
             ulen[rows] = len(unit)
         scal[:n, 1] = ulen
-        fn = self._fn(mode, b_sub, u_pad, r_pad, n_sub=n_sub)
         with TIMERS.section("dp_dispatch"):
-            fused = fn(self._flat, *_put(starts, scal, units))
+            fused = self._dispatch_resident(
+                mode, b_sub, u_pad, r_pad, starts, scal, units,
+                n_sub=n_sub)
         TIMERS.count("dp_jobs", n)
         TIMERS.count("dp_chunks")
         return (part, "counts", (fused,), ("res", b_tot, u_pad),
@@ -603,8 +654,8 @@ class WrapDPBatcher:
                 # path moves host buffers an order of magnitude slower
                 # than device_put on proxied backends
                 if resident:
-                    fn = self._fn(mode, b_pad, u_pad, r_pad)
-                    fused = fn(self._flat, *_put(starts, scal, units))
+                    fused = self._dispatch_resident(
+                        mode, b_pad, u_pad, r_pad, starts, scal, units)
                 elif mode == "counts2":
                     from mtr_tpu.ops.wrap_dp_fused2 import (
                         get_wrap_dp_fused2,
@@ -640,8 +691,9 @@ class WrapDPBatcher:
 
             with TIMERS.section("dp_dispatch"):
                 if resident:
-                    fn = self._fn("counts", b_pad, u_pad, r_pad)
-                    fused = fn(self._flat, *_put(starts, scal, units))
+                    fused = self._dispatch_resident(
+                        "counts", b_pad, u_pad, r_pad, starts, scal,
+                        units)
                 else:
                     fn = get_wrap_dp_fused(b_pad, u_pad, r_pad)
                     fused = fn(*_put(scal, reps, units))
@@ -658,9 +710,10 @@ class WrapDPBatcher:
         )
         factor = 2 if factor <= 2 else TB_FACTOR
         if resident:
-            fn = self._fn("consensus", b_pad, u_pad, r_pad, factor)
             with TIMERS.section("dp_dispatch"):
-                fused = fn(self._flat, *_put(starts, scal, units))
+                fused = self._dispatch_resident(
+                    "consensus", b_pad, u_pad, r_pad, starts, scal,
+                    units, factor=factor)
             TIMERS.count("dp_jobs", len(chunk))
             TIMERS.count("dp_chunks")
             return (chunk, mode, (fused,), ("res", b_pad, u_pad), buffers)
@@ -912,6 +965,28 @@ class HybridDPBatcher:
 
         big = [j for j, c in zip(uniq_jobs, cells) if to_device(c)]
         small = [j for j, c in zip(uniq_jobs, cells) if not to_device(c)]
+        if big:
+            # jobs outside the mega path (unit > 256 / w-limit misses)
+            # dispatch as standalone (r, u) chunks whose kernel cost is
+            # b_pad x max_rep regardless of fill — a 2-job chunk burns
+            # ~64x its useful cells on device while the AVX-512 host
+            # fill does those cells in milliseconds.  Keep only groups
+            # big enough to fill a dispatch.
+            v1_groups: dict = defaultdict(list)
+            for j in big:
+                rep_len = j.qe - j.qs + 1
+                if j.mode != "counts" or len(j.unit) <= 128:
+                    continue
+                r_pad = _bucket(rep_len, R_BUCKETS)
+                if len(j.unit) <= 256 and _fits_w(j, rep_len, r_pad):
+                    continue  # counts2w: merged by the mega path
+                v1_groups[(r_pad,
+                           _bucket(len(j.unit), U_BUCKETS_FUSED))].append(j)
+            demote = {id(j) for js in v1_groups.values()
+                      if len(js) <= 16 for j in js}
+            if demote:
+                small.extend(j for j in big if id(j) in demote)
+                big = [j for j in big if id(j) not in demote]
         if big:
             err: list = []
             t0 = time.time()
