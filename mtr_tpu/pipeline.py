@@ -988,6 +988,21 @@ class HybridDPBatcher:
                 small.extend(j for j in big if id(j) in demote)
                 big = [j for j in big if id(j) not in demote]
         if big:
+            # engagement gate: a device round costs a ~fixed dispatch +
+            # pull latency (~0.15 s through this proxy) whatever it
+            # carries; when the offloadable work is small (short-read
+            # batches: ~20 M cells), paying it LOSES outright —
+            # measured on the 100x10 set: the device leg relieved
+            # 0.015 s of host work for 0.145 s of wait.  Engage only
+            # when the shipped cells could plausibly amortize it.
+            dev_cells = sum(
+                (j.qe - j.qs + 1) * len(j.unit) for j in big
+                if j.mode == "counts")
+            if dev_cells < int(_os.environ.get(
+                    "MTR_TPU_MIN_DEVICE_CELLS", str(1 << 26))):
+                small.extend(big)
+                big = []
+        if big:
             err: list = []
             t0 = time.time()
 

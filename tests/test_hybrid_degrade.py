@@ -20,6 +20,9 @@ def _hybrid_run(monkeypatch, wedge):
     if not os.path.exists(FASTA):
         pytest.skip("reference fixtures unavailable")
     monkeypatch.setenv("MTR_TPU_DEVICE_BUDGET_S", "1")
+    # bypass the engagement gate: this fixture's job set is far below
+    # the shipping minimum-cells bar, but the test needs a device leg
+    monkeypatch.setenv("MTR_TPU_MIN_DEVICE_CELLS", "0")
     batcher = P.HybridDPBatcher(cell_threshold=1)  # everything "big"
 
     def bad_run(self, jobs):
